@@ -1,0 +1,125 @@
+"""Unit tests for ops/assign.py (C14) — auction vs scipy optimality.
+
+SURVEY.md §7 hard-parts: "prove cost-optimality equal to scipy on random
+matrices incl. degenerate ties". The auction guarantee is total cost within
+N * eps_min of optimal; tests assert that bound (and exactness on
+well-separated integer costs).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from waymo_2d_tracking_tpu.ops.assign import auction_assign
+
+EPS_MIN = 1e-3
+
+
+def total_cost(cost, row_to_col):
+    return sum(cost[i, j] for i, j in enumerate(row_to_col) if j >= 0)
+
+
+def check_vs_scipy(cost, row_mask=None, col_mask=None, tol_scale=1.0):
+    rtc, ctr = jax.jit(
+        lambda c: auction_assign(c, row_mask=None if row_mask is None else jnp.asarray(row_mask),
+                                 col_mask=None if col_mask is None else jnp.asarray(col_mask),
+                                 eps_min=EPS_MIN, max_iters=4096)
+    )(jnp.asarray(cost))
+    rtc = np.asarray(rtc)
+    ctr = np.asarray(ctr)
+
+    # structural checks: it is a matching, inverse-consistent
+    used = [j for j in rtc if j >= 0]
+    assert len(used) == len(set(used)), "column used twice"
+    for i, j in enumerate(rtc):
+        if j >= 0:
+            assert ctr[j] == i
+    # masked rows/cols never matched
+    if row_mask is not None:
+        assert all(rtc[i] == -1 for i in range(len(rtc)) if not row_mask[i])
+    if col_mask is not None:
+        assert all(ctr[j] == -1 for j in range(len(ctr)) if not col_mask[j])
+
+    # optimality vs scipy on the valid submatrix
+    r_idx = np.arange(cost.shape[0]) if row_mask is None else np.flatnonzero(row_mask)
+    c_idx = np.arange(cost.shape[1]) if col_mask is None else np.flatnonzero(col_mask)
+    sub = cost[np.ix_(r_idx, c_idx)]
+    ri, ci = linear_sum_assignment(sub)
+    opt = sub[ri, ci].sum()
+    got = total_cost(cost, rtc)
+    n = max(cost.shape)
+    # same cardinality (max matching) and near-optimal cost
+    assert sum(1 for j in rtc if j >= 0) == len(ri)
+    assert got <= opt + n * EPS_MIN * tol_scale + 1e-5, (got, opt)
+    return rtc
+
+
+def test_square_random():
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 5, 16, 64):
+        cost = rng.uniform(0, 2, size=(n, n)).astype(np.float32)
+        check_vs_scipy(cost)
+
+
+def test_rectangular_both_ways():
+    rng = np.random.default_rng(1)
+    check_vs_scipy(rng.uniform(0, 2, size=(10, 4)).astype(np.float32))
+    check_vs_scipy(rng.uniform(0, 2, size=(4, 10)).astype(np.float32))
+
+
+def test_degenerate_ties():
+    # all-equal costs: any perfect matching is optimal
+    check_vs_scipy(np.ones((8, 8), dtype=np.float32))
+    # block ties
+    cost = np.kron(np.arange(4).reshape(2, 2), np.ones((4, 4))).astype(np.float32)
+    check_vs_scipy(cost)
+
+
+def test_integer_costs_exact():
+    # integer costs with eps_min < 1/N: auction is exactly optimal
+    rng = np.random.default_rng(2)
+    cost = rng.integers(0, 10, size=(12, 12)).astype(np.float32)
+    rtc = check_vs_scipy(cost)
+    ri, ci = linear_sum_assignment(cost)
+    assert total_cost(cost, np.asarray(rtc)) == cost[ri, ci].sum()
+
+
+def test_masks():
+    rng = np.random.default_rng(3)
+    cost = rng.uniform(0, 2, size=(8, 8)).astype(np.float32)
+    row_mask = np.array([1, 1, 0, 1, 0, 1, 1, 0], dtype=bool)
+    col_mask = np.array([1, 0, 1, 1, 1, 0, 1, 1], dtype=bool)
+    check_vs_scipy(cost, row_mask, col_mask)
+
+
+def test_forbid_gating():
+    cost = np.array([[0.1, 0.9], [0.2, 0.8]], dtype=np.float32)
+    forbid = jnp.asarray(np.array([[True, False], [False, False]]))
+    rtc, _ = auction_assign(jnp.asarray(cost), forbid=forbid, eps_min=EPS_MIN)
+    rtc = np.asarray(rtc)
+    # row 0 can't take col 0; optimal is 0->1, 1->0
+    assert rtc[0] == 1 and rtc[1] == 0
+
+
+def test_all_forbidden_returns_unmatched():
+    cost = np.ones((4, 4), dtype=np.float32)
+    forbid = jnp.ones((4, 4), dtype=bool)
+    rtc, ctr = auction_assign(jnp.asarray(cost), forbid=forbid, eps_min=EPS_MIN)
+    assert np.all(np.asarray(rtc) == -1)
+    assert np.all(np.asarray(ctr) == -1)
+
+
+def test_inside_vmap_and_scan():
+    # the op must nest inside scan (per-frame use) — smoke test shapes
+    rng = np.random.default_rng(4)
+    costs = jnp.asarray(rng.uniform(0, 2, size=(3, 6, 6)).astype(np.float32))
+
+    def step(carry, c):
+        rtc, _ = auction_assign(c, eps_min=EPS_MIN)
+        return carry, rtc
+
+    _, out = jax.lax.scan(step, 0, costs)
+    assert out.shape == (3, 6)
+    for k in range(3):
+        used = [j for j in np.asarray(out[k]) if j >= 0]
+        assert len(used) == len(set(used))

@@ -1,0 +1,163 @@
+"""Scenario-table tests for the tracker lifecycle + track_step (C15-C17)."""
+import numpy as np
+import jax.numpy as jnp
+
+from waymo_2d_tracking_tpu.config import TrackerConfig
+from waymo_2d_tracking_tpu.data.synthetic import scripted_detections
+from waymo_2d_tracking_tpu.tracker import Tracker
+from waymo_2d_tracking_tpu.types import SLOT_CONFIRMED
+
+
+def make_tracker(**kw):
+    defaults = dict(
+        max_tracks=16, max_detections=8, embed_dim=0, n_init=2, max_age=2,
+        iou_threshold=0.2, score_threshold=0.3, birth_score_threshold=0.5,
+    )
+    defaults.update(kw)
+    return Tracker(TrackerConfig(**defaults))
+
+
+def box(x, y, w=40.0, h=40.0):
+    return np.array([x, y, x + w, y + h], np.float32)
+
+
+def run(tracker, frames):
+    dets = scripted_detections(frames)
+    state, outs = tracker.run(dets)
+    return state, outs
+
+
+def emitted_ids(outs, t):
+    v = np.asarray(outs.valid[t])
+    ids = np.asarray(outs.track_id[t])
+    return sorted(ids[v].tolist())
+
+
+def test_single_object_persistent_id():
+    frames = [[(box(100 + 5 * t, 100), 0.9, 0)] for t in range(10)]
+    tracker = make_tracker()
+    state, outs = run(tracker, frames)
+    ids_per_frame = [emitted_ids(outs, t) for t in range(10)]
+    # one id throughout, stable
+    flat = {i for ids in ids_per_frame for i in ids}
+    assert flat == {0}
+    # emitted every frame (warm-up rule covers frames before confirmation)
+    assert all(len(ids) == 1 for ids in ids_per_frame)
+
+
+def test_two_objects_two_ids():
+    frames = [
+        [(box(100, 100), 0.9, 0), (box(400, 400), 0.9, 0)] for _ in range(8)
+    ]
+    tracker = make_tracker()
+    state, outs = run(tracker, frames)
+    assert emitted_ids(outs, 7) == [0, 1]
+    # ids stable across frames
+    for t in range(2, 8):
+        assert emitted_ids(outs, t) == [0, 1]
+
+
+def test_track_death_after_max_age():
+    frames = [[(box(100, 100), 0.9, 0)] for _ in range(5)] + [[] for _ in range(6)]
+    tracker = make_tracker(max_age=2)
+    state, outs = run(tracker, frames)
+    # after the object disappears, no emissions
+    for t in range(5, 11):
+        assert emitted_ids(outs, t) == []
+    # slot eventually freed: all statuses empty
+    assert np.all(np.asarray(state.status) == 0)
+
+
+def test_new_id_after_long_gap():
+    frames = (
+        [[(box(100, 100), 0.9, 0)] for _ in range(5)]
+        + [[] for _ in range(6)]
+        + [[(box(100, 100), 0.9, 0)] for _ in range(5)]
+    )
+    tracker = make_tracker(max_age=2)
+    state, outs = run(tracker, frames)
+    before = {i for t in range(5) for i in emitted_ids(outs, t)}
+    after = {i for t in range(11, 16) for i in emitted_ids(outs, t)}
+    assert before == {0}
+    assert after and before.isdisjoint(after)  # identity NOT preserved without re-ID
+
+
+def test_tentative_dies_on_first_miss():
+    # 1 hit then gone: should never emit after (with n_init=2 nothing confirmed)
+    frames = [[(box(100, 100), 0.9, 0)], [], [], []]
+    tracker = make_tracker(n_init=2)
+    state, outs = run(tracker, frames)
+    assert np.all(np.asarray(state.status) == 0)
+    assert emitted_ids(outs, 2) == []
+
+
+def test_low_score_detections_ignored():
+    frames = [[(box(100, 100), 0.2, 0)] for _ in range(5)]
+    tracker = make_tracker(score_threshold=0.3)
+    state, outs = run(tracker, frames)
+    for t in range(5):
+        assert emitted_ids(outs, t) == []
+
+
+def test_class_mismatch_not_associated():
+    # same location, class flips each frame -> two separate id families
+    frames = [[(box(100, 100), 0.9, t % 2)] for t in range(8)]
+    tracker = make_tracker()
+    state, outs = run(tracker, frames)
+    # no track accumulates consecutive hits -> nothing confirmed
+    statuses = np.asarray(state.status)
+    assert not np.any(statuses == SLOT_CONFIRMED)
+
+
+def test_crossing_objects_keep_ids():
+    # two objects crossing paths; motion continuity should keep ids
+    frames = []
+    for t in range(21):
+        frames.append(
+            [
+                (box(100 + 10 * t, 100 + 10 * t), 0.9, 0),   # obj A: down-right
+                (box(300 - 10 * t, 100 + 10 * t), 0.9, 0),   # obj B: down-left
+            ]
+        )
+    tracker = make_tracker(iou_threshold=0.1)
+    state, outs = run(tracker, frames)
+    first = emitted_ids(outs, 2)
+    last = emitted_ids(outs, 20)
+    assert len(first) == 2 and first == last
+
+
+def test_occlusion_within_max_age_keeps_id():
+    frames = (
+        [[(box(100 + 5 * t, 100), 0.9, 0)] for t in range(5)]
+        + [[], []]  # 2-frame occlusion, within max_age
+        + [[(box(100 + 5 * t, 100), 0.9, 0)] for t in range(7, 12)]
+    )
+    tracker = make_tracker(max_age=3)
+    state, outs = run(tracker, frames)
+    before = {i for t in range(5) for i in emitted_ids(outs, t)}
+    after = {i for t in range(7, 12) for i in emitted_ids(outs, t)}
+    assert before == after == {0}
+
+
+def test_table_overflow_drops_lowest_priority_births():
+    # more detections than slots: highest-priority (earliest det index) win
+    tracker = make_tracker(max_tracks=4, max_detections=8)
+    frames = [
+        [(box(100 * i, 100 * i), 0.9, 0) for i in range(1, 7)] for _ in range(3)
+    ]
+    state, outs = run(tracker, frames)
+    statuses = np.asarray(state.status)
+    assert np.sum(statuses != 0) == 4  # table full, deterministic
+    ids = np.asarray(state.track_id)
+    assert sorted(ids[statuses != 0].tolist()) == [0, 1, 2, 3]
+
+
+def test_next_id_monotonic_and_dense():
+    frames = [
+        [(box(100, 100), 0.9, 0)],
+        [(box(100, 100), 0.9, 0), (box(400, 400), 0.9, 0)],
+        [(box(100, 100), 0.9, 0), (box(400, 400), 0.9, 0), (box(700, 700), 0.9, 0)],
+    ]
+    tracker = make_tracker()
+    state, _ = run(tracker, frames)
+    assert int(state.next_id) == 3

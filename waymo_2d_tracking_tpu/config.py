@@ -1,0 +1,139 @@
+"""Typed dataclass configs (SURVEY.md §5 "Config/flag system", component C24).
+
+Every BASELINE.json acceptance config 1-5 is expressible as a preset of these
+dataclasses; presets live in ``configs/*.yaml`` at the repo root.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class KalmanConfig:
+    """Constant-velocity Kalman filter noise model (SORT-style, scaled by box size)."""
+
+    # std of position/size process noise as a fraction of box height
+    std_weight_position: float = 1.0 / 20.0
+    # std of velocity process noise as a fraction of box height
+    std_weight_velocity: float = 1.0 / 160.0
+    # measurement noise std as fraction of box height
+    std_weight_measurement: float = 1.0 / 20.0
+    # initial velocity uncertainty multiplier
+    init_velocity_std: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """SORT-family tracker (components C12-C17)."""
+
+    max_tracks: int = 128          # S: fixed slot-table capacity
+    max_detections: int = 128      # D: padded per-frame detection capacity
+    embed_dim: int = 128           # E: ReID embedding dim (0 disables appearance)
+
+    iou_threshold: float = 0.3     # min IoU for a valid match (gating)
+    appearance_weight: float = 0.0 # lambda: cost = (1-l)*iou_cost + l*cos_cost
+    appearance_gate: float = 0.4   # max cosine distance for a valid match
+    score_threshold: float = 0.5   # min det score to participate at all
+    birth_score_threshold: float = 0.6  # min score to birth a new track
+
+    n_init: int = 3                # consecutive hits to confirm a track
+    max_age: int = 3               # misses before confirmed -> lost/dead
+    max_lost_age: int = 30         # frames a lost track is kept for re-ID recovery
+    reid_recovery: bool = False    # stage-2 association vs lost tracks (config 5)
+    embed_ema: float = 0.9         # EMA factor for track embedding updates
+
+    kalman: KalmanConfig = dataclasses.field(default_factory=KalmanConfig)
+
+    # Auction assignment (component C14); eps starts at the dynamic benefit
+    # range and scales down geometrically to eps_min.
+    auction_eps_scale: float = 0.2    # eps <- eps * scale per scaling phase
+    auction_eps_min: float = 1e-3
+    auction_max_iters: int = 4096     # per-phase bidding iteration cap
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """ResNet-50 + FPN + heads single-stage detector (components C5-C10)."""
+
+    num_classes: int = 3                 # Waymo 2D: vehicle, pedestrian, cyclist
+    image_size: Tuple[int, int] = (640, 960)   # (H, W) after letterbox; config 2 uses (1280, 1920)
+    backbone: str = "resnet50"
+    fpn_channels: int = 256
+    fpn_levels: Tuple[int, ...] = (3, 4, 5, 6, 7)   # P3..P7 strides 8..128
+    head_depth: int = 4
+    # anchor-free (FCOS-style) head: one box + per-class score per location
+    score_threshold: float = 0.05
+    pre_nms_topk: int = 1000
+    nms_iou_threshold: float = 0.6
+    max_detections: int = 128
+    embed_dim: int = 128                 # ReID head output (0 disables)
+    dtype: str = "bfloat16"              # compute dtype for conv trunk
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Per-segment orchestration (components C18-C20)."""
+
+    cameras: Sequence[str] = ("FRONT",)
+    chunk_frames: int = 8          # frames per jitted scan chunk
+    prefetch_depth: int = 2        # double-buffered host->HBM staging
+    tta_flip: bool = False
+    tta_scales: Sequence[float] = (1.0,)
+    data_axis: str = "data"        # mesh axis name for segment/camera fan-out
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Detector training (component C23)."""
+
+    batch_size: int = 16
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    warmup_steps: int = 500
+    total_steps: int = 20000
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    checkpoint_every: int = 1000
+    checkpoint_dir: str = "/tmp/w2t_ckpt"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    detector: DetectorConfig = dataclasses.field(default_factory=DetectorConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def _update(dc, overrides: dict):
+    """Recursively apply a nested dict of overrides to a (frozen) dataclass."""
+    kwargs = {}
+    for f in dataclasses.fields(dc):
+        if f.name in overrides:
+            v = overrides[f.name]
+            cur = getattr(dc, f.name)
+            if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+                kwargs[f.name] = _update(cur, v)
+            else:
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[f.name] = v
+    extra = set(overrides) - {f.name for f in dataclasses.fields(dc)}
+    if extra:
+        raise KeyError(f"unknown config keys for {type(dc).__name__}: {sorted(extra)}")
+    return dataclasses.replace(dc, **kwargs)
+
+
+def load_config(yaml_path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
+    """Build a Config from an optional yaml preset plus a nested override dict."""
+    cfg = Config()
+    if yaml_path:
+        import yaml
+
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        cfg = _update(cfg, data)
+    if overrides:
+        cfg = _update(cfg, overrides)
+    return cfg

@@ -1,0 +1,187 @@
+"""On-device linear assignment via eps-scaled auction (component C14).
+
+The reference calls ``scipy.optimize.linear_sum_assignment`` (compiled C,
+host-side, per frame — BASELINE.json north-star names scipy explicitly).
+A shortest-augmenting-path (JV) solver is branchy and sequential — exactly
+what XLA hates — so here we use Bertsekas' auction algorithm instead: each
+round, every unassigned row simultaneously bids on its best column
+(vectorized argmax + one-hot scatter-max, pure VPU work), prices rise, and
+``lax.while_loop`` iterates until all rows hold a column. eps-scaling phases
+(prices persist, assignments reset) give near-optimal total cost within
+``N * eps_min`` of the true optimum — the unit tests verify this bound
+against scipy on random matrices including degenerate ties.
+
+Rectangular / masked / gated problems are padded to a static square N x N.
+The padding benefit is ``-(N * c_max + 1)`` — large enough that a maximum-
+cardinality matching always dominates (matching scipy's semantics of
+assigning every row of the short side), yet small enough that the auction's
+price war over real columns terminates in O(range/eps) total price rise,
+which eps-scaling then makes cheap. (A fixed huge constant here makes
+unbalanced problems iterate ~1e10 times; found the hard way.)
+
+Fixed shapes throughout, so the op nests inside ``jit`` / ``lax.scan`` /
+``shard_map``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30  # only for masking bids within one iteration
+
+
+def _auction_phase(
+    benefit: jnp.ndarray,
+    prices: jnp.ndarray,
+    row_live: jnp.ndarray,
+    eps: jnp.ndarray,
+    max_iters: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One eps phase of the Jacobi (all-bid-at-once) auction.
+
+    benefit: (N, N) maximization payoff. prices: (N,) carried across phases.
+    row_live: (N,) rows that participate (all rows here; kept for generality).
+    Returns (row_to_col (N,) int32, updated prices).
+    """
+    n = benefit.shape[0]
+    cols = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(carry):
+        row_to_col, _owner, _p, it = carry
+        unassigned = jnp.logical_and(row_to_col < 0, row_live)
+        return jnp.logical_and(it < max_iters, jnp.any(unassigned))
+
+    def body(carry):
+        row_to_col, owner, p, it = carry
+        unassigned = jnp.logical_and(row_to_col < 0, row_live)        # (N,)
+
+        v = benefit - p[None, :]                                      # (N, N)
+        j_best = jnp.argmax(v, axis=1).astype(jnp.int32)              # (N,)
+        v1 = jnp.max(v, axis=1)
+        v_no_best = jnp.where(cols[None, :] == j_best[:, None], _NEG_INF, v)
+        v2 = jnp.max(v_no_best, axis=1)
+        bid_price = p[j_best] + (v1 - v2) + eps                       # (N,)
+
+        # Each unassigned row bids on exactly its best column: build the
+        # (rows x cols) bid grid, take per-column max bid + winner.
+        bids = jnp.where(
+            jnp.logical_and(cols[None, :] == j_best[:, None], unassigned[:, None]),
+            bid_price[:, None],
+            _NEG_INF,
+        )
+        col_best_bid = jnp.max(bids, axis=0)                          # (N,)
+        col_winner = jnp.argmax(bids, axis=0).astype(jnp.int32)       # (N,)
+        has_bid = col_best_bid > _NEG_INF * 0.5
+
+        p = jnp.where(has_bid, col_best_bid, p)
+        new_owner = jnp.where(has_bid, col_winner, owner)             # col -> row
+
+        # Rebuild row_to_col from ownership (a row wins at most one column
+        # per iteration since it bids on a single j_best).
+        safe_rows = jnp.where(new_owner >= 0, new_owner, 0)
+        vals = jnp.where(new_owner >= 0, cols, -1)
+        new_row_to_col = jnp.full((n,), -1, dtype=jnp.int32).at[safe_rows].max(vals)
+        return new_row_to_col, new_owner, p, it + 1
+
+    init = (
+        jnp.full((n,), -1, dtype=jnp.int32),
+        jnp.full((n,), -1, dtype=jnp.int32),
+        prices,
+        jnp.int32(0),
+    )
+    row_to_col, _owner, prices, _it = jax.lax.while_loop(cond, body, init)
+    return row_to_col, prices
+
+
+def auction_assign(
+    cost: jnp.ndarray,
+    row_mask: Optional[jnp.ndarray] = None,
+    col_mask: Optional[jnp.ndarray] = None,
+    forbid: Optional[jnp.ndarray] = None,
+    *,
+    eps_scale: float = 0.2,
+    eps_min: float = 1e-3,
+    max_iters: int = 4096,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Min-cost assignment of rows to columns, fully on device.
+
+    Args:
+      cost: (R, C) float32 cost matrix (lower = better). Finite entries.
+      row_mask: (R,) bool, False rows are padding and never matched.
+      col_mask: (C,) bool, False cols are padding and never matched.
+      forbid: (R, C) bool, True pairs are never matched (gating).
+      eps_scale: eps-scaling factor per phase (eps <- eps * eps_scale).
+      eps_min: final phase eps; total cost is within N*eps_min of optimal.
+      max_iters: bidding-iteration cap per eps phase (safety valve; if hit,
+        remaining rows return unmatched).
+
+    Returns:
+      (row_to_col (R,) int32 with -1 for unmatched,
+       col_to_row (C,) int32 with -1 for unmatched).
+      Pairs are only reported matched if both sides are valid and the pair is
+      not forbidden — matches routed through padding are filtered out.
+    """
+    r, c = cost.shape
+    n = max(r, c)
+    if row_mask is None:
+        row_mask = jnp.ones((r,), dtype=bool)
+    if col_mask is None:
+        col_mask = jnp.ones((c,), dtype=bool)
+
+    valid = jnp.logical_and(row_mask[:, None], col_mask[None, :])
+    if forbid is not None:
+        valid = jnp.logical_and(valid, jnp.logical_not(forbid))
+
+    costf = cost.astype(jnp.float32)
+    c_max = jnp.maximum(jnp.max(jnp.where(valid, costf, 0.0)), 0.0)
+    c_min = jnp.minimum(jnp.min(jnp.where(valid, costf, 0.0)), 0.0)
+    # Padding benefit: worse than any chain of valid assignments so that
+    # maximum cardinality always wins, but only by the necessary margin.
+    pad = -(jnp.float32(n) * (c_max - c_min) + 1.0) + c_min
+
+    benefit = jnp.full((n, n), 0.0, dtype=jnp.float32)
+    benefit = benefit.at[:r, :c].set(jnp.where(valid, -costf, 0.0))
+    mask_nn = jnp.zeros((n, n), dtype=bool).at[:r, :c].set(valid)
+    benefit = jnp.where(mask_nn, benefit, pad)
+
+    # Dynamic eps-scaling: start at a fraction of the full benefit range so
+    # early phases move prices in large steps.
+    brange = (c_max - pad) - c_min  # ~ (N+1) * cost range
+    eps0 = jnp.maximum(brange * 0.5, jnp.float32(eps_min))
+    row_live = jnp.ones((n,), dtype=bool)
+
+    def outer_cond(carry):
+        _rtc, _p, eps = carry
+        return eps > eps_min
+
+    def outer_body(carry):
+        _rtc, p, eps = carry
+        rtc, p = _auction_phase(benefit, p, row_live, eps, max_iters)
+        return rtc, p, jnp.maximum(eps * eps_scale, jnp.float32(eps_min) * 0.5)
+
+    rtc0 = jnp.full((n,), -1, dtype=jnp.int32)
+    p0 = jnp.zeros((n,), dtype=jnp.float32)
+    row_to_col, prices, _eps = jax.lax.while_loop(
+        outer_cond, outer_body, (rtc0, p0, eps0)
+    )
+    # Final phase at exactly eps_min (the loop's last eps was eps_min/2 > ...
+    # the loop exits once eps <= eps_min, so polish once at eps_min).
+    row_to_col, _ = _auction_phase(benefit, prices, row_live, jnp.float32(eps_min), max_iters)
+
+    # Filter assignments that ran through padding/forbidden entries.
+    rows = jnp.arange(n, dtype=jnp.int32)[:r]
+    rtc = row_to_col[:r]
+    safe_cols = jnp.clip(rtc, 0, c - 1)
+    pair_ok = jnp.logical_and(
+        jnp.logical_and(rtc >= 0, rtc < c),
+        valid[rows, safe_cols],
+    )
+    rtc = jnp.where(pair_ok, rtc, -1)
+
+    # Invert to col_to_row.
+    safe = jnp.where(rtc >= 0, rtc, 0)
+    vals = jnp.where(rtc >= 0, rows, -1)
+    col_to_row = jnp.full((c,), -1, dtype=jnp.int32).at[safe].max(vals)
+    return rtc, col_to_row

@@ -1,0 +1,74 @@
+"""Association cost fusion (component C13).
+
+Fuses batched pairwise IoU (C12), appearance cosine distance (C11 embeddings),
+class consistency, and gating into a single (S, D) cost + forbid pair for the
+auction assignment — all one fused XLA computation on device, vs the
+reference's per-frame host numpy (SURVEY.md §3.1).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from waymo_2d_tracking_tpu.config import TrackerConfig
+from waymo_2d_tracking_tpu.ops.iou import pairwise_iou
+from waymo_2d_tracking_tpu.types import Detections, TrackerState, boxes_cxcywh_to_xyxy
+
+
+def cosine_distance(track_embeds: jnp.ndarray, det_embeds: jnp.ndarray) -> jnp.ndarray:
+    """1 - cosine similarity. Inputs are L2-normalized: (S, E) x (D, E) -> (S, D).
+
+    One MXU matmul — this is the op that makes on-device appearance
+    association essentially free next to the detector forward.
+    """
+    return 1.0 - track_embeds @ det_embeds.T
+
+
+def stage1_cost(
+    state: TrackerState,
+    dets: Detections,
+    det_valid: jnp.ndarray,
+    track_mask: jnp.ndarray,
+    cfg: TrackerConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Motion+appearance cost for active (tentative/confirmed) tracks.
+
+    Returns (cost (S, D), forbid (S, D)). Gating: IoU below threshold,
+    class mismatch, and (if appearance is on) cosine distance above gate.
+    """
+    track_boxes = boxes_cxcywh_to_xyxy(state.mean[:, :4])
+    iou = pairwise_iou(track_boxes, dets.boxes)          # (S, D)
+    cost = 1.0 - iou
+    forbid = iou < cfg.iou_threshold
+
+    lam = cfg.appearance_weight
+    if lam > 0.0 and cfg.embed_dim > 0:
+        cos = cosine_distance(state.embed, dets.embeds)  # (S, D)
+        cost = (1.0 - lam) * cost + lam * cos
+        forbid = jnp.logical_or(forbid, cos > cfg.appearance_gate)
+
+    forbid = jnp.logical_or(forbid, state.classes[:, None] != dets.classes[None, :])
+    forbid = jnp.logical_or(forbid, jnp.logical_not(track_mask[:, None]))
+    forbid = jnp.logical_or(forbid, jnp.logical_not(det_valid[None, :]))
+    return cost, forbid
+
+
+def stage2_cost(
+    state: TrackerState,
+    dets: Detections,
+    det_valid: jnp.ndarray,
+    track_mask: jnp.ndarray,
+    cfg: TrackerConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Appearance-only recovery cost for LOST tracks (config 5, long-horizon re-ID).
+
+    Lost tracks have stale motion state, so IoU is meaningless; matching is by
+    embedding cosine distance alone, gated by ``appearance_gate`` and class.
+    """
+    cos = cosine_distance(state.embed, dets.embeds)
+    forbid = cos > cfg.appearance_gate
+    forbid = jnp.logical_or(forbid, state.classes[:, None] != dets.classes[None, :])
+    forbid = jnp.logical_or(forbid, jnp.logical_not(track_mask[:, None]))
+    forbid = jnp.logical_or(forbid, jnp.logical_not(det_valid[None, :]))
+    return cos, forbid

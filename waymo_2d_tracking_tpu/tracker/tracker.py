@@ -1,0 +1,152 @@
+"""Tracker top level: ``track_step`` and segment-level ``lax.scan`` (component C17).
+
+One fully-jitted function advances the fixed-capacity track table by one
+frame: Kalman predict (vectorized) -> fused cost -> auction assignment ->
+masked lifecycle. ``track_segment`` scans it over a whole clip so the host
+touches the device once per segment (or chunk), not once per frame — the
+core inversion of the reference's per-frame host loop (SURVEY.md §3.1).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from waymo_2d_tracking_tpu.config import TrackerConfig
+from waymo_2d_tracking_tpu.ops.assign import auction_assign
+from waymo_2d_tracking_tpu.tracker import cost as cost_mod
+from waymo_2d_tracking_tpu.tracker import kalman, lifecycle
+from waymo_2d_tracking_tpu.types import (
+    SLOT_CONFIRMED,
+    SLOT_EMPTY,
+    SLOT_LOST,
+    SLOT_TENTATIVE,
+    Detections,
+    TrackOutputs,
+    TrackerState,
+    boxes_cxcywh_to_xyxy,
+)
+
+
+def init_state(cfg: TrackerConfig, dtype=jnp.float32) -> TrackerState:
+    """Fresh empty track table."""
+    s, e = cfg.max_tracks, max(cfg.embed_dim, 1)
+    return TrackerState(
+        mean=jnp.zeros((s, kalman.STATE_DIM), dtype),
+        cov=jnp.tile(jnp.eye(kalman.STATE_DIM, dtype=dtype), (s, 1, 1)),
+        track_id=jnp.full((s,), -1, jnp.int32),
+        status=jnp.full((s,), SLOT_EMPTY, jnp.int8),
+        hits=jnp.zeros((s,), jnp.int32),
+        time_since_update=jnp.zeros((s,), jnp.int32),
+        age=jnp.zeros((s,), jnp.int32),
+        classes=jnp.zeros((s,), jnp.int32),
+        score=jnp.zeros((s,), dtype),
+        embed=jnp.zeros((s, e), dtype),
+        next_id=jnp.int32(0),
+        frame_idx=jnp.int32(0),
+    )
+
+
+def _assign(cost, forbid, row_mask, col_mask, cfg: TrackerConfig):
+    return auction_assign(
+        cost,
+        row_mask=row_mask,
+        col_mask=col_mask,
+        forbid=forbid,
+        eps_scale=cfg.auction_eps_scale,
+        eps_min=cfg.auction_eps_min,
+        max_iters=cfg.auction_max_iters,
+    )
+
+
+def track_step(
+    state: TrackerState, dets: Detections, cfg: TrackerConfig
+) -> Tuple[TrackerState, TrackOutputs]:
+    """Advance the tracker by one frame. Fully jittable / scannable."""
+    det_valid = jnp.logical_and(dets.valid, dets.scores >= cfg.score_threshold)
+
+    # 1. Kalman predict for active (tentative/confirmed) tracks. LOST tracks
+    # keep a frozen motion state — only appearance can recover them.
+    active = jnp.logical_or(
+        state.status == SLOT_TENTATIVE, state.status == SLOT_CONFIRMED
+    )
+    mean_p, cov_p = kalman.predict(state.mean, state.cov, cfg.kalman)
+    state = state.replace(
+        mean=jnp.where(active[:, None], mean_p, state.mean),
+        cov=jnp.where(active[:, None, None], cov_p, state.cov),
+    )
+
+    # 2. Stage-1 association: active tracks x detections (IoU + appearance).
+    c1, f1 = cost_mod.stage1_cost(state, dets, det_valid, active, cfg)
+    row_to_col, col_to_row = _assign(c1, f1, active, det_valid, cfg)
+
+    recovered = jnp.zeros((cfg.max_tracks,), dtype=bool)
+    if cfg.reid_recovery and cfg.embed_dim > 0:
+        # 3. Stage-2: LOST tracks x still-unmatched detections, appearance only.
+        lost = state.status == SLOT_LOST
+        det_free = jnp.logical_and(det_valid, col_to_row < 0)
+        c2, f2 = cost_mod.stage2_cost(state, dets, det_free, lost, cfg)
+        rtc2, ctr2 = _assign(c2, f2, lost, det_free, cfg)
+        recovered = rtc2 >= 0
+        row_to_col = jnp.where(recovered, rtc2, row_to_col)
+        col_to_row = jnp.maximum(col_to_row, ctr2)
+
+    # 4. Lifecycle: update matched, age/kill missed, birth leftovers.
+    state = lifecycle.apply_matches(state, dets, row_to_col, recovered, cfg)
+    state = lifecycle.apply_misses(state, row_to_col >= 0, cfg)
+    state = lifecycle.apply_births(state, dets, col_to_row < 0, cfg)
+    state = state.replace(frame_idx=state.frame_idx + 1)
+
+    # 5. Emit: confirmed tracks matched this frame; during the first n_init
+    # frames tentative tracks are emitted too (SORT's warm-up rule, so output
+    # starts at frame 1 instead of frame n_init).
+    emit = jnp.logical_and(state.time_since_update == 0, state.status == SLOT_CONFIRMED)
+    warmup = jnp.logical_and(
+        state.status == SLOT_TENTATIVE, state.frame_idx <= cfg.n_init
+    )
+    emit = jnp.logical_or(emit, jnp.logical_and(warmup, state.time_since_update == 0))
+
+    outputs = TrackOutputs(
+        track_id=jnp.where(emit, state.track_id, -1),
+        boxes=boxes_cxcywh_to_xyxy(state.mean[:, :4]),
+        scores=state.score,
+        classes=state.classes,
+        valid=emit,
+    )
+    return state, outputs
+
+
+def track_segment(
+    state: TrackerState, det_seq: Detections, cfg: TrackerConfig
+) -> Tuple[TrackerState, TrackOutputs]:
+    """Scan ``track_step`` over a time-major stacked Detections pytree.
+
+    det_seq fields have a leading time axis (T, ...). Returns the final state
+    and time-stacked TrackOutputs (T, S, ...). O(1) memory in T via lax.scan.
+    """
+
+    def step(carry, dets):
+        return track_step(carry, dets, cfg)
+
+    return jax.lax.scan(step, state, det_seq)
+
+
+class Tracker:
+    """Convenience OO wrapper holding config + jitted step/segment functions."""
+
+    def __init__(self, cfg: Optional[TrackerConfig] = None):
+        self.cfg = cfg or TrackerConfig()
+        self._step = jax.jit(lambda s, d: track_step(s, d, self.cfg))
+        self._segment = jax.jit(lambda s, d: track_segment(s, d, self.cfg))
+
+    def init(self) -> TrackerState:
+        return init_state(self.cfg)
+
+    def step(self, state: TrackerState, dets: Detections):
+        return self._step(state, dets)
+
+    def run(self, det_seq: Detections, state: Optional[TrackerState] = None):
+        if state is None:
+            state = self.init()
+        return self._segment(state, det_seq)
