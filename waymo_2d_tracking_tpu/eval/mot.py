@@ -1,0 +1,143 @@
+"""CLEAR-MOT evaluation: MOTA / MOTP / ID switches (component C22).
+
+The reference relies on py-motmetrics / the waymo_open_dataset C++ metric ops
+(SURVEY.md §2 C22, [RECALLED]); this is a small exact reimplementation of the
+CLEAR-MOT protocol (Bernardin & Stiefelhagen 2008, as summarized in the SORT
+paper §IV: MOTA = 1 - (FN + FP + IDSW) / num_GT). Offline host path — plain
+numpy + scipy is the right tool here (SURVEY.md §3.4), the on-device auction
+is for the per-frame hot loop, not offline eval.
+
+Protocol per frame:
+  1. Keep last frame's GT->hypothesis correspondences that still overlap
+     (IoU >= threshold) — CLEAR's temporal-consistency rule.
+  2. Hungarian-match remaining GT to remaining hypotheses on IoU.
+  3. A GT matched to a different hypothesis id than its previous one counts
+     one ID switch. Unmatched GT -> FN; unmatched hypotheses -> FP.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+
+@dataclasses.dataclass
+class MotMetrics:
+    mota: float
+    motp: float            # mean IoU over matches (higher = better)
+    num_frames: int
+    num_gt: int
+    num_matches: int
+    num_fp: int
+    num_fn: int
+    num_idsw: int
+
+    def as_dict(self) -> Dict[str, float]:
+        return dataclasses.asdict(self)
+
+
+def _frame_iou(gt_boxes: np.ndarray, hyp_boxes: np.ndarray) -> np.ndarray:
+    if len(gt_boxes) == 0 or len(hyp_boxes) == 0:
+        return np.zeros((len(gt_boxes), len(hyp_boxes)))
+    lt = np.maximum(gt_boxes[:, None, :2], hyp_boxes[None, :, :2])
+    rb = np.minimum(gt_boxes[:, None, 2:], hyp_boxes[None, :, 2:])
+    wh = np.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_g = np.prod(np.maximum(gt_boxes[:, 2:] - gt_boxes[:, :2], 0), axis=1)
+    area_h = np.prod(np.maximum(hyp_boxes[:, 2:] - hyp_boxes[:, :2], 0), axis=1)
+    union = area_g[:, None] + area_h[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+
+
+def evaluate_mot(
+    gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
+    hyp_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
+    iou_threshold: float = 0.5,
+) -> MotMetrics:
+    """Evaluate CLEAR-MOT over a clip.
+
+    gt_frames:  per frame (ids (G,) int, boxes (G, 4) xyxy).
+    hyp_frames: per frame (ids (H,) int, boxes (H, 4) xyxy).
+    """
+    assert len(gt_frames) == len(hyp_frames)
+    num_gt = num_fp = num_fn = num_idsw = num_matches = 0
+    iou_sum = 0.0
+    # last hypothesis id matched to each GT id (persists across gaps, per CLEAR)
+    last_match: Dict[int, int] = {}
+
+    for (gt_ids, gt_boxes), (hyp_ids, hyp_boxes) in zip(gt_frames, hyp_frames):
+        gt_ids = np.asarray(gt_ids)
+        hyp_ids = np.asarray(hyp_ids)
+        g, h = len(gt_ids), len(hyp_ids)
+        num_gt += g
+        iou = _frame_iou(np.asarray(gt_boxes, float), np.asarray(hyp_boxes, float))
+
+        matched_g = np.zeros(g, bool)
+        matched_h = np.zeros(h, bool)
+        pairs: List[Tuple[int, int]] = []
+
+        # 1. carry over still-valid correspondences
+        for gi in range(g):
+            prev = last_match.get(int(gt_ids[gi]))
+            if prev is None:
+                continue
+            hj = np.flatnonzero(hyp_ids == prev)
+            if len(hj) and iou[gi, hj[0]] >= iou_threshold and not matched_h[hj[0]]:
+                matched_g[gi] = True
+                matched_h[hj[0]] = True
+                pairs.append((gi, hj[0]))
+
+        # 2. Hungarian on the rest (maximize IoU among feasible pairs)
+        free_g = np.flatnonzero(~matched_g)
+        free_h = np.flatnonzero(~matched_h)
+        if len(free_g) and len(free_h):
+            sub = iou[np.ix_(free_g, free_h)]
+            cost = 1.0 - sub
+            cost[sub < iou_threshold] = 1e6  # infeasible
+            ri, ci = linear_sum_assignment(cost)
+            for r, c in zip(ri, ci):
+                if sub[r, c] >= iou_threshold:
+                    pairs.append((free_g[r], free_h[c]))
+                    matched_g[free_g[r]] = True
+                    matched_h[free_h[c]] = True
+
+        # 3. count
+        for gi, hj in pairs:
+            gid, hid = int(gt_ids[gi]), int(hyp_ids[hj])
+            if gid in last_match and last_match[gid] != hid:
+                num_idsw += 1
+            last_match[gid] = hid
+            num_matches += 1
+            iou_sum += iou[gi, hj]
+        num_fn += int((~matched_g).sum())
+        num_fp += int((~matched_h).sum())
+
+    mota = 1.0 - (num_fn + num_fp + num_idsw) / max(num_gt, 1)
+    motp = iou_sum / max(num_matches, 1)
+    return MotMetrics(
+        mota=mota, motp=motp, num_frames=len(gt_frames), num_gt=num_gt,
+        num_matches=num_matches, num_fp=num_fp, num_fn=num_fn, num_idsw=num_idsw,
+    )
+
+
+def track_outputs_to_frames(outputs, num_frames: int):
+    """Convert stacked TrackOutputs (T, S) pytree -> list of (ids, boxes)."""
+    valid = np.asarray(outputs.valid)
+    ids = np.asarray(outputs.track_id)
+    boxes = np.asarray(outputs.boxes)
+    frames = []
+    for t in range(num_frames):
+        m = valid[t]
+        frames.append((ids[t][m], boxes[t][m]))
+    return frames
+
+
+def gt_to_frames(gt: dict):
+    """Convert data.synthetic ground truth dict -> list of (ids, boxes)."""
+    frames = []
+    for t in range(gt["boxes"].shape[0]):
+        m = gt["present"][t]
+        frames.append((gt["ids"][m], gt["boxes"][t][m]))
+    return frames
