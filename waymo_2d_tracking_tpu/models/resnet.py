@@ -1,0 +1,99 @@
+"""ResNet-50 backbone in flax (component C5).
+
+The reference detector's backbone is torch/cuDNN ResNet-50 (BASELINE
+north-star: "CNN detector (backbone+FPN+heads)"). Here it is idiomatic flax:
+NHWC layout (TPU native), bfloat16 compute / float32 params, convolutions
+left to XLA:TPU (cuDNN's MXU equivalent — no custom kernel needed,
+SURVEY.md §2.1).
+
+Padding is explicit (torch convention: symmetric 3 for the 7x7 stem, 1 for
+3x3) rather than 'SAME', so weights port 1:1 from a torch twin and the
+numerics parity test (SURVEY.md §4) holds to 1e-4.
+
+Returns the C2..C5 feature pyramid {2: /4, 3: /8, 4: /16, 5: /32}.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck with BN and projection shortcut."""
+
+    features: int            # bottleneck width; output is 4x this
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name=name,
+        )
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = norm("bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
+        y = norm("bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = norm("bn3")(y)
+
+        if residual.shape[-1] != self.features * 4 or self.stride != 1:
+            residual = nn.Conv(
+                self.features * 4, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            residual = norm("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet-v1 with bottleneck blocks. stage_sizes (3,4,6,3) = ResNet-50."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[int, jnp.ndarray]:
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                    padding=[(3, 3), (3, 3)], use_bias=False, dtype=self.dtype,
+                    name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        feats: Dict[int, jnp.ndarray] = {}
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            width = self.width * (2 ** stage)
+            for block in range(num_blocks):
+                stride = 2 if (block == 0 and stage > 0) else 1
+                x = Bottleneck(
+                    features=width, stride=stride, dtype=self.dtype,
+                    name=f"stage{stage + 1}_block{block}",
+                )(x, train=train)
+            feats[stage + 2] = x  # C2 (/4) .. C5 (/32)
+        return feats
+
+
+def ResNet50(dtype: Any = jnp.bfloat16) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), width=64, dtype=dtype)
+
+
+def ResNet18Slim(dtype: Any = jnp.bfloat16) -> ResNet:
+    """Small twin for tests (same structure, 1-block stages)."""
+    return ResNet(stage_sizes=(1, 1, 1, 1), width=16, dtype=dtype)
