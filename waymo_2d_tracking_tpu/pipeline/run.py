@@ -1,0 +1,196 @@
+"""Per-segment orchestration (component C20): the detect->track hot path.
+
+Architecture (vs the reference's per-frame host loop, SURVEY.md §3.1):
+
+  host:   stream frames -> JPEG decode -> uint8 chunks -> prefetch thread
+          (double-buffered device_put, C3)
+  device: ONE jitted chunk_step per `chunk_frames` frames:
+            preprocess (resize/normalize/letterbox, C2)
+            -> batched detector forward over the whole chunk (MXU loves
+               batch; this is where the 1-frame-at-a-time reference loses)
+            -> lax.scan of track_step over the chunk's frames (C17)
+          carry = tracker state; emitted = small (id, box) arrays
+  host:   tiny per-chunk outputs -> submission records (C21)
+
+Control crosses host<->device once per chunk, not per frame. Failure
+recovery (SURVEY.md §5): per-segment outputs are idempotent files plus a
+manifest; rerun skips completed segments.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waymo_2d_tracking_tpu.config import Config
+from waymo_2d_tracking_tpu.data.preprocess import letterbox_batch
+from waymo_2d_tracking_tpu.data.prefetch import prefetch_to_device
+from waymo_2d_tracking_tpu.io_out import submission as subm
+from waymo_2d_tracking_tpu.models.detector import DetectorRunner
+from waymo_2d_tracking_tpu.tracker import init_state, track_step
+from waymo_2d_tracking_tpu.types import Detections, TrackOutputs
+
+
+@dataclasses.dataclass
+class SegmentFrames:
+    """A segment's frames for one camera, host-side.
+
+    frames: (T, H, W, 3) uint8 (already decoded); or provide `jpeg_frames`
+    as a list of encoded bytes to decode lazily in the prefetch thread.
+    """
+
+    context_name: str
+    camera_name: int
+    timestamps: Sequence[int]
+    frames: Optional[np.ndarray] = None
+    jpeg_frames: Optional[List[bytes]] = None
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.timestamps)
+
+    def chunk_iter(self, chunk: int) -> Iterator[np.ndarray]:
+        """Yield (chunk, H, W, 3) uint8 arrays, last chunk zero-padded."""
+        t = self.num_frames
+        for start in range(0, t, chunk):
+            if self.frames is not None:
+                block = self.frames[start : start + chunk]
+            else:
+                from waymo_2d_tracking_tpu.data.preprocess import decode_jpeg_host
+
+                block = np.stack(
+                    [decode_jpeg_host(b) for b in self.jpeg_frames[start : start + chunk]]
+                )
+            if block.shape[0] < chunk:
+                pad = chunk - block.shape[0]
+                block = np.concatenate(
+                    [block, np.zeros((pad,) + block.shape[1:], block.dtype)]
+                )
+            yield block
+
+
+class SegmentPipeline:
+    """Holds jitted chunk_step; reusable across segments (compile once)."""
+
+    def __init__(self, cfg: Config, params=None, rng=None):
+        self.cfg = cfg
+        self.detector = DetectorRunner(cfg.detector)
+        if params is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            params = self.detector.init_params(
+                rng, batch_size=cfg.pipeline.chunk_frames
+            )
+        self.params = params
+        self._chunk_step = jax.jit(self._chunk_step_impl, static_argnames=("src_hw",))
+
+    def _chunk_step_impl(self, params, tracker_state, frames_u8, src_hw):
+        """frames_u8 (chunk, Hs, Ws, 3) uint8 -> (new_state, outputs, scale)."""
+        images, scale = letterbox_batch(
+            frames_u8, src_hw, self.cfg.detector.image_size
+        )
+        dets: Detections = self.detector._detect_impl(params, images)
+
+        def step(carry, det):
+            return track_step(carry, det, self.cfg.tracker)
+
+        new_state, outputs = jax.lax.scan(step, tracker_state, dets)
+        return new_state, outputs, scale
+
+    def run_segment(
+        self,
+        segment: SegmentFrames,
+        detections_only: bool = False,
+    ) -> Tuple[List[subm.TrackRecord], dict]:
+        """Full detect->track over one camera's segment. Returns (records,
+        stats). The tracker state carries across chunks within the segment."""
+        cfg = self.cfg
+        chunk = cfg.pipeline.chunk_frames
+        t_total = segment.num_frames
+        if segment.frames is not None:
+            src_hw = tuple(segment.frames.shape[1:3])
+        else:
+            first = segment.chunk_iter(1).__next__()
+            src_hw = tuple(first.shape[1:3])
+
+        state = init_state(cfg.tracker)
+        outputs_host: List[TrackOutputs] = []
+        scale = 1.0
+        t0 = time.perf_counter()
+        for dev_chunk in prefetch_to_device(
+            segment.chunk_iter(chunk), depth=cfg.pipeline.prefetch_depth
+        ):
+            state, outputs, scale = self._chunk_step(
+                self.params, state, dev_chunk, src_hw
+            )
+            outputs_host.append(jax.device_get(outputs))
+        wall = time.perf_counter() - t0
+
+        # concat chunks, trim padding frames
+        stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outputs_host)
+        stacked = jax.tree.map(lambda x: x[:t_total], stacked)
+        records = subm.records_from_track_outputs(
+            stacked,
+            segment.context_name,
+            segment.timestamps,
+            segment.camera_name,
+            scale=float(scale),
+        )
+        stats = {
+            "context": segment.context_name,
+            "camera": segment.camera_name,
+            "frames": t_total,
+            "tracks": len({r.object_id for r in records}),
+            "records": len(records),
+            "wall_s": round(wall, 4),
+            "fps": round(t_total / wall, 1) if wall > 0 else None,
+        }
+        return records, stats
+
+
+def run_segments(
+    pipeline: SegmentPipeline,
+    segments: Iterable[SegmentFrames],
+    out_dir: str,
+    fail_after: Optional[int] = None,
+) -> List[dict]:
+    """Drive many segments with manifest-based resume (SURVEY.md §5 failure
+    recovery): completed segments are recorded in manifest.jsonl and skipped
+    on rerun; per-segment output files are idempotent.
+
+    fail_after: test hook — raise after N segments to exercise resume.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    done = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            for line in f:
+                if line.strip():
+                    done.add(json.loads(line)["key"])
+
+    all_stats = []
+    n_run = 0
+    for seg in segments:
+        key = f"{seg.context_name}/{seg.camera_name}"
+        if key in done:
+            continue
+        if fail_after is not None and n_run >= fail_after:
+            raise RuntimeError(f"fault injection: stopping after {fail_after} segments")
+        records, stats = pipeline.run_segment(seg)
+        seg_file = os.path.join(
+            out_dir, f"{seg.context_name}_{seg.camera_name}.jsonl"
+        )
+        subm.write_jsonl(seg_file, records)
+        with open(manifest_path, "a") as f:
+            f.write(json.dumps({"key": key, **stats}) + "\n")
+        all_stats.append(stats)
+        n_run += 1
+    return all_stats
