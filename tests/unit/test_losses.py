@@ -1,0 +1,77 @@
+"""Unit tests for train/losses.py (FCOS target assignment + losses)."""
+import numpy as np
+import jax.numpy as jnp
+
+from waymo_2d_tracking_tpu.train.losses import (
+    assign_targets_level,
+    giou_loss,
+    level_locations,
+    sigmoid_focal_loss,
+)
+
+
+def test_level_locations():
+    locs = np.asarray(level_locations(2, 3, stride=8))
+    assert locs.shape == (6, 2)
+    np.testing.assert_allclose(locs[0], [4.0, 4.0])   # (x, y) of (0,0)
+    np.testing.assert_allclose(locs[1], [12.0, 4.0])  # row-major over W
+    np.testing.assert_allclose(locs[3], [4.0, 12.0])
+
+
+def test_assignment_inside_box_and_range():
+    locs = level_locations(4, 4, stride=8)  # centers at 4..28
+    gt = jnp.asarray([[0.0, 0.0, 32.0, 32.0]])
+    cls_t, ltrb_t, ctr_t = assign_targets_level(
+        locs, gt, jnp.asarray([2]), jnp.asarray([True]), (0.0, 64.0)
+    )
+    cls_t = np.asarray(cls_t)
+    assert (cls_t == 2).all()  # every location inside the box
+    # ltrb at location (4,4): l=4, t=4, r=28, b=28
+    np.testing.assert_allclose(np.asarray(ltrb_t[0]), [4, 4, 28, 28])
+    # centerness highest at the central locations
+    ctr = np.asarray(ctr_t).reshape(4, 4)
+    assert ctr[1, 1] > ctr[0, 0]
+
+
+def test_assignment_out_of_range_is_background():
+    locs = level_locations(4, 4, stride=8)
+    gt = jnp.asarray([[0.0, 0.0, 32.0, 32.0]])
+    # level range excludes this box (max reg ~28 < 64)
+    cls_t, _, _ = assign_targets_level(
+        locs, gt, jnp.asarray([0]), jnp.asarray([True]), (64.0, 128.0)
+    )
+    assert (np.asarray(cls_t) == -1).all()
+
+
+def test_assignment_smallest_area_wins():
+    locs = level_locations(4, 4, stride=8)
+    gt = jnp.asarray([[0.0, 0.0, 32.0, 32.0], [8.0, 8.0, 24.0, 24.0]])
+    cls_t, _, _ = assign_targets_level(
+        locs, gt, jnp.asarray([0, 1]), jnp.asarray([True, True]), (0.0, 64.0)
+    )
+    c = np.asarray(cls_t).reshape(4, 4)
+    assert c[1, 1] == 1  # center location inside both -> smaller box
+    assert c[0, 0] == 0  # corner only inside big box
+
+
+def test_invalid_gt_ignored():
+    locs = level_locations(4, 4, stride=8)
+    gt = jnp.asarray([[0.0, 0.0, 32.0, 32.0]])
+    cls_t, _, _ = assign_targets_level(
+        locs, gt, jnp.asarray([0]), jnp.asarray([False]), (0.0, 64.0)
+    )
+    assert (np.asarray(cls_t) == -1).all()
+
+
+def test_focal_loss_focuses_on_hard():
+    logits = jnp.asarray([10.0, -10.0])     # confident right, confident wrong
+    targets = jnp.asarray([1.0, 1.0])
+    loss = np.asarray(sigmoid_focal_loss(logits, targets))
+    assert loss[1] > 100 * loss[0]
+
+
+def test_giou_perfect_and_disjoint():
+    p = jnp.asarray([[4.0, 4.0, 4.0, 4.0]])
+    assert abs(float(giou_loss(p, p)[0])) < 1e-6
+    worse = jnp.asarray([[1.0, 1.0, 1.0, 1.0]])
+    assert float(giou_loss(worse, p)[0]) > 0.1

@@ -122,6 +122,45 @@ def generate_clip(cfg: SyntheticClipConfig = SyntheticClipConfig()):
     return dets, gt
 
 
+def render_detection_batch(
+    rng: np.random.Generator,
+    batch_size: int,
+    image_hw: Tuple[int, int],
+    max_gt: int = 8,
+    num_classes: int = 3,
+):
+    """Synthetic detector-training batch: images with solid colored
+    rectangles on noise, plus padded GT (for overfit/training tests —
+    the 'COCO-converted Waymo' stand-in when no real data is mounted).
+
+    Returns dict(images (N,H,W,3) f32, gt_boxes (N,G,4), gt_classes (N,G),
+    gt_valid (N,G)).
+    """
+    h, w = image_hw
+    images = rng.normal(0.45, 0.08, (batch_size, h, w, 3)).astype(np.float32)
+    gt_boxes = np.zeros((batch_size, max_gt, 4), np.float32)
+    gt_classes = np.zeros((batch_size, max_gt), np.int32)
+    gt_valid = np.zeros((batch_size, max_gt), bool)
+    colors = np.array([[0.9, 0.2, 0.2], [0.2, 0.9, 0.2], [0.2, 0.2, 0.9]])
+    for n in range(batch_size):
+        for g in range(rng.integers(1, max_gt + 1)):
+            bw = rng.uniform(0.1 * w, 0.4 * w)
+            bh = rng.uniform(0.1 * h, 0.4 * h)
+            x1 = rng.uniform(0, w - bw)
+            y1 = rng.uniform(0, h - bh)
+            cls = int(rng.integers(0, num_classes))
+            images[n, int(y1): int(y1 + bh), int(x1): int(x1 + bw)] = colors[cls]
+            gt_boxes[n, g] = [x1, y1, x1 + bw, y1 + bh]
+            gt_classes[n, g] = cls
+            gt_valid[n, g] = True
+    return {
+        "images": jnp.asarray(images),
+        "gt_boxes": jnp.asarray(gt_boxes),
+        "gt_classes": jnp.asarray(gt_classes),
+        "gt_valid": jnp.asarray(gt_valid),
+    }
+
+
 def scripted_detections(frames):
     """Hand-written per-frame detection lists -> stacked Detections.
 

@@ -1,0 +1,152 @@
+"""FCOS training losses + target assignment (component C23).
+
+Vectorized, fixed-shape target assignment (locations x max_gt, masked) —
+the torch reference's per-image Python assignment loops (SURVEY.md L1
+[RECALLED]) become one batched computation. Losses: sigmoid focal (class),
+GIoU (box, on positives), BCE (centerness).
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# FCOS level regression ranges (in image pixels, by pyramid level)
+LEVEL_RANGES = {3: (0.0, 64.0), 4: (64.0, 128.0), 5: (128.0, 256.0),
+                6: (256.0, 512.0), 7: (512.0, 1e8)}
+INF = 1e8
+
+
+def level_locations(h: int, w: int, stride: int) -> jnp.ndarray:
+    """(H*W, 2) location centers (x, y) in image coordinates."""
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
+
+
+def assign_targets_level(
+    locs: jnp.ndarray,        # (L, 2) x,y
+    gt_boxes: jnp.ndarray,    # (G, 4) xyxy
+    gt_classes: jnp.ndarray,  # (G,) int
+    gt_valid: jnp.ndarray,    # (G,) bool
+    level_range: Tuple[float, float],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-location targets: (cls (L,) int [-1 = background], ltrb (L, 4)
+    in pixels, centerness (L,))."""
+    x, y = locs[:, 0:1], locs[:, 1:2]                       # (L, 1)
+    l = x - gt_boxes[None, :, 0]                            # (L, G)
+    t = y - gt_boxes[None, :, 1]
+    r = gt_boxes[None, :, 2] - x
+    b = gt_boxes[None, :, 3] - y
+    ltrb = jnp.stack([l, t, r, b], axis=-1)                 # (L, G, 4)
+    inside = jnp.min(ltrb, axis=-1) > 0.0
+    maxreg = jnp.max(ltrb, axis=-1)
+    lo, hi = level_range
+    in_level = jnp.logical_and(maxreg >= lo, maxreg <= hi)
+    eligible = inside & in_level & gt_valid[None, :]        # (L, G)
+
+    area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
+    area_masked = jnp.where(eligible, area[None, :], INF)
+    best = jnp.argmin(area_masked, axis=1)                  # (L,)
+    has_target = jnp.any(eligible, axis=1)
+
+    cls_t = jnp.where(has_target, gt_classes[best], -1)
+    ltrb_t = jnp.take_along_axis(ltrb, best[:, None, None], axis=1)[:, 0]
+    lr = jnp.stack([ltrb_t[:, 0], ltrb_t[:, 2]], -1)
+    tb = jnp.stack([ltrb_t[:, 1], ltrb_t[:, 3]], -1)
+    ctr_t = jnp.sqrt(
+        jnp.clip(
+            (jnp.min(lr, -1) / jnp.maximum(jnp.max(lr, -1), 1e-6))
+            * (jnp.min(tb, -1) / jnp.maximum(jnp.max(tb, -1), 1e-6)),
+            0.0, 1.0,
+        )
+    )
+    return cls_t, ltrb_t, jnp.where(has_target, ctr_t, 0.0)
+
+
+def sigmoid_focal_loss(logits, targets_onehot, alpha=0.25, gamma=2.0):
+    """Element-wise focal loss; caller reduces."""
+    p = jax.nn.sigmoid(logits)
+    ce = optax_sigmoid_ce(logits, targets_onehot)
+    p_t = p * targets_onehot + (1 - p) * (1 - targets_onehot)
+    alpha_t = alpha * targets_onehot + (1 - alpha) * (1 - targets_onehot)
+    return alpha_t * ((1 - p_t) ** gamma) * ce
+
+
+def optax_sigmoid_ce(logits, labels):
+    """Numerically stable sigmoid cross entropy."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def giou_loss(pred_ltrb, target_ltrb):
+    """GIoU loss on ltrb distances around a shared center (FCOS form)."""
+    pl, pt, pr, pb = [pred_ltrb[..., i] for i in range(4)]
+    tl, tt, tr, tb = [target_ltrb[..., i] for i in range(4)]
+    p_area = (pl + pr) * (pt + pb)
+    t_area = (tl + tr) * (tt + tb)
+    iw = jnp.minimum(pl, tl) + jnp.minimum(pr, tr)
+    ih = jnp.minimum(pt, tt) + jnp.minimum(pb, tb)
+    inter = jnp.maximum(iw, 0) * jnp.maximum(ih, 0)
+    union = p_area + t_area - inter
+    iou = inter / jnp.maximum(union, 1e-6)
+    cw = jnp.maximum(pl, tl) + jnp.maximum(pr, tr)
+    ch = jnp.maximum(pt, tt) + jnp.maximum(pb, tb)
+    c_area = cw * ch
+    giou = iou - (c_area - union) / jnp.maximum(c_area, 1e-6)
+    return 1.0 - giou
+
+
+def fcos_loss(
+    head_out: Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    gt_boxes: jnp.ndarray,    # (N, G, 4)
+    gt_classes: jnp.ndarray,  # (N, G)
+    gt_valid: jnp.ndarray,    # (N, G)
+    num_classes: int,
+    focal_alpha: float = 0.25,
+    focal_gamma: float = 2.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total FCOS loss over a batch and all levels."""
+    total_cls = 0.0
+    total_box = 0.0
+    total_ctr = 0.0
+    total_pos = 0.0
+
+    for lvl, (cls_logits, ltrb_pred, ctr_logits) in head_out.items():
+        n, h, w, k = cls_logits.shape
+        stride = 2 ** lvl
+        locs = level_locations(h, w, stride)
+
+        assign = jax.vmap(
+            lambda gb, gc, gv: assign_targets_level(
+                locs, gb, gc, gv, LEVEL_RANGES[lvl]
+            )
+        )
+        cls_t, ltrb_t, ctr_t = assign(gt_boxes, gt_classes, gt_valid)  # (N, L...)
+
+        pos = cls_t >= 0                                             # (N, L)
+        onehot = jax.nn.one_hot(jnp.clip(cls_t, 0), num_classes) * pos[..., None]
+        cls_flat = cls_logits.astype(jnp.float32).reshape(n, -1, k)
+        total_cls += jnp.sum(
+            sigmoid_focal_loss(cls_flat, onehot, focal_alpha, focal_gamma)
+        )
+
+        ltrb_flat = ltrb_pred.astype(jnp.float32).reshape(n, -1, 4) * stride
+        box_l = giou_loss(ltrb_flat, ltrb_t)
+        # centerness-weighted box loss (FCOS improvement)
+        total_box += jnp.sum(box_l * ctr_t * pos)
+
+        ctr_flat = ctr_logits.astype(jnp.float32).reshape(n, -1)
+        total_ctr += jnp.sum(optax_sigmoid_ce(ctr_flat, ctr_t) * pos)
+        total_pos += jnp.sum(pos)
+
+    norm = jnp.maximum(total_pos, 1.0)
+    loss_cls = total_cls / norm
+    loss_box = total_box / norm
+    loss_ctr = total_ctr / norm
+    loss = loss_cls + loss_box + loss_ctr
+    return loss, {
+        "loss": loss, "loss_cls": loss_cls, "loss_box": loss_box,
+        "loss_ctr": loss_ctr, "num_pos": total_pos,
+    }
