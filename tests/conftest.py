@@ -17,4 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon TPU plugin's sitecustomize can trump JAX_PLATFORMS from the env;
+# the in-process config update always wins
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

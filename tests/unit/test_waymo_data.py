@@ -1,0 +1,106 @@
+"""Tests for data/waymo.py (C1) and data/coco.py (C4): TFRecord framing,
+Frame proto round-trip, directory segments, COCO conversion."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from waymo_2d_tracking_tpu.data import waymo
+from waymo_2d_tracking_tpu.data.coco import (
+    coco_batch_iterator,
+    convert_segments_to_coco,
+)
+from waymo_2d_tracking_tpu.io_out import submission as subm
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    path = str(tmp_path / "x.tfrecord")
+    records = [b"hello", b"", b"a" * 1000]
+    waymo.write_tfrecord(path, records)
+    assert list(waymo.read_tfrecord(path, verify_crc=True)) == records
+
+
+def test_crc32c_known_value():
+    # RFC 3720 test vector: crc32c of 32 zero bytes
+    assert waymo._crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_frame_proto_roundtrip():
+    frame = waymo.encode_frame(
+        "ctx123", 1234567, images={1: b"jpegdata", 2: b"other"},
+        labels={1: [{"id": "obj1", "type": 1, "xyxy": (10.0, 20.0, 50.0, 60.0)}]},
+    )
+    parsed = waymo.parse_frame(frame)
+    assert parsed["context_name"] == "ctx123"
+    assert parsed["timestamp"] == 1234567
+    assert parsed["images"][1] == b"jpegdata"
+    lab = parsed["labels"][1][0]
+    assert lab["id"] == "obj1"
+    np.testing.assert_allclose(lab["xyxy"], (10, 20, 50, 60))
+
+
+@pytest.fixture()
+def seg_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (4, 64, 96, 3), dtype=np.uint8)
+    labels = [
+        subm.TrackRecord.from_xyxy("segA", 1000 * t, 1, f"obj{k}", 1,
+                                   (10 + 5 * t, 10, 40 + 5 * t, 40), 1.0)
+        for t in range(4) for k in range(2)
+    ]
+    waymo.materialize_directory_segment(
+        str(tmp_path), "segA", frames, [1000 * t for t in range(4)],
+        camera_id=1, labels=labels,
+    )
+    return str(tmp_path)
+
+
+def test_directory_segment_iter(seg_dir):
+    segs = list(waymo.iter_segments(seg_dir, cameras=("FRONT",)))
+    assert len(segs) == 1
+    seg = segs[0]
+    assert seg.context_name == "segA"
+    assert seg.num_frames == 4
+    chunk = next(seg.chunk_iter(4))
+    assert chunk.shape == (4, 64, 96, 3)
+    assert chunk.dtype == np.uint8
+
+
+def test_tfrecord_segment_iter(tmp_path):
+    import cv2
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    ok, enc = cv2.imencode(".jpg", img[:, :, ::-1])
+    assert ok
+    frames = [
+        waymo.encode_frame("ctxT", 100 * t, images={1: enc.tobytes()})
+        for t in range(3)
+    ]
+    path = str(tmp_path / "seg.tfrecord")
+    waymo.write_tfrecord(path, frames)
+    segs = list(waymo.iter_segments(str(tmp_path), cameras=("FRONT",)))
+    assert len(segs) == 1
+    assert segs[0].context_name == "ctxT"
+    chunk = next(segs[0].chunk_iter(3))
+    assert chunk.shape == (3, 32, 48, 3)
+
+
+def test_coco_conversion_and_iterator(seg_dir, tmp_path):
+    out = str(tmp_path / "coco")
+    n = convert_segments_to_coco(seg_dir, out)
+    assert n == 4
+    coco = json.load(open(os.path.join(out, "annotations.json")))
+    assert len(coco["images"]) == 4
+    assert len(coco["annotations"]) == 8
+    assert coco["annotations"][0]["category_id"] == 1
+
+    it = coco_batch_iterator(out, batch_size=2, image_hw=(32, 48), seed=0,
+                             flip_augment=False)
+    batch = next(it)
+    assert batch["images"].shape == (2, 32, 48, 3)
+    assert batch["gt_boxes"].shape[0] == 2
+    assert bool(batch["gt_valid"].any())
+    # boxes scaled into the letterboxed frame
+    assert float(batch["gt_boxes"].max()) <= 48.0

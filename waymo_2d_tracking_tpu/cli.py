@@ -1,0 +1,299 @@
+"""Command-line entry points (component C25).
+
+Mirrors the reference's script surface (convert / train / detect / track /
+submit / eval / bench — SURVEY.md §1.1 L6) as subcommands:
+
+  python -m waymo_2d_tracking_tpu.cli track --config configs/config2_detector_iou.yaml \\
+      --segments-dir DATA --out-dir OUT
+  python -m waymo_2d_tracking_tpu.cli track --from-detections dets.jsonl --out sub.jsonl
+  python -m waymo_2d_tracking_tpu.cli eval --pred sub.jsonl --gt gt.jsonl
+  python -m waymo_2d_tracking_tpu.cli bench
+
+Config: --config yaml preset (configs/ has the five BASELINE acceptance
+presets) plus dotted overrides: --set tracker.max_age=5 detector.embed_dim=0
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+
+def _parse_overrides(pairs: List[str]) -> dict:
+    out: dict = {}
+    for pair in pairs:
+        key, _, raw = pair.partition("=")
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        node = out
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return out
+
+
+def _load_config(args):
+    from waymo_2d_tracking_tpu.config import load_config
+
+    return load_config(args.config, _parse_overrides(args.set or []))
+
+
+def cmd_track(args):
+    cfg = _load_config(args)
+    if args.from_detections:
+        return _track_from_detections(cfg, args)
+    import jax
+
+    from waymo_2d_tracking_tpu.pipeline.run import SegmentPipeline, run_segments
+    from waymo_2d_tracking_tpu.data.waymo import iter_segments
+
+    pipeline = SegmentPipeline(cfg, rng=jax.random.PRNGKey(args.seed))
+    if args.params:
+        pipeline.params = _load_params(args.params)
+    segments = iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras)
+    stats = run_segments(pipeline, segments, args.out_dir,
+                         fail_after=args.fail_after_n_segments)
+    for s in stats:
+        print(json.dumps(s))
+
+
+def _track_from_detections(cfg, args):
+    """Config-1 path: tracker only, precomputed detections (runs on CPU too)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+    from waymo_2d_tracking_tpu.tracker import Tracker
+    from waymo_2d_tracking_tpu.types import Detections
+
+    rows = subm.read_jsonl(args.from_detections)
+    # group by (context, camera), frames by timestamp
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault((r.context_name, r.camera_name), []).append(r)
+    all_records = []
+    tracker = Tracker(cfg.tracker)
+    d = cfg.tracker.max_detections
+    for (ctx, cam), rs in sorted(by_seg.items()):
+        stamps = sorted({r.timestamp_micros for r in rs})
+        t_idx = {ts: i for i, ts in enumerate(stamps)}
+        t = len(stamps)
+        boxes = np.zeros((t, d, 4), np.float32)
+        scores = np.zeros((t, d), np.float32)
+        classes = np.zeros((t, d), np.int32)
+        valid = np.zeros((t, d), bool)
+        counts = [0] * t
+        for r in rs:
+            i = t_idx[r.timestamp_micros]
+            j = counts[i]
+            if j >= d:
+                continue
+            boxes[i, j] = r.to_xyxy()
+            scores[i, j] = r.score
+            classes[i, j] = {1: 0, 2: 1, 4: 2}.get(r.object_type, 0)
+            valid[i, j] = True
+            counts[i] += 1
+        dets = Detections(
+            boxes=jnp.asarray(boxes), scores=jnp.asarray(scores),
+            classes=jnp.asarray(classes),
+            embeds=jnp.zeros((t, d, max(cfg.tracker.embed_dim, 1)), jnp.float32),
+            valid=jnp.asarray(valid),
+        )
+        _, outputs = tracker.run(dets)
+        all_records.extend(
+            subm.records_from_track_outputs(outputs, ctx, stamps, cam)
+        )
+    n = subm.write_jsonl(args.out, all_records)
+    print(json.dumps({"records": n, "out": args.out}))
+
+
+def cmd_detect(args):
+    """Detection-only inference: writes per-frame detections JSONL."""
+    import jax
+
+    from waymo_2d_tracking_tpu.pipeline.run import SegmentPipeline
+    from waymo_2d_tracking_tpu.data.waymo import iter_segments
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+
+    cfg = _load_config(args)
+    pipeline = SegmentPipeline(cfg, rng=jax.random.PRNGKey(args.seed))
+    if args.params:
+        pipeline.params = _load_params(args.params)
+    records = []
+    for seg in iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras):
+        recs, stats = pipeline.run_segment(seg, detections_only=True)
+        records.extend(recs)
+        print(json.dumps(stats), file=sys.stderr)
+    n = subm.write_jsonl(args.out, records)
+    print(json.dumps({"records": n, "out": args.out}))
+
+
+def cmd_submit(args):
+    """Convert JSONL track outputs to the Waymo submission pb format."""
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+
+    records = []
+    for path in args.inputs:
+        records.extend(subm.read_jsonl(path))
+    n = subm.write_waymo_pb(args.out, records)
+    print(json.dumps({"objects": n, "out": args.out}))
+
+
+def cmd_eval(args):
+    import numpy as np
+
+    from waymo_2d_tracking_tpu.eval.mot import evaluate_mot
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+
+    def to_frames(rows):
+        by_seg = {}
+        for r in rows:
+            by_seg.setdefault((r.context_name, r.camera_name), {}).setdefault(
+                r.timestamp_micros, []
+            ).append(r)
+        return by_seg
+
+    pred = to_frames(subm.read_jsonl(args.pred))
+    gt = to_frames(subm.read_jsonl(args.gt))
+    agg = {}
+    for key in sorted(gt):
+        stamps = sorted(gt[key])
+        gt_frames, hyp_frames = [], []
+        for ts in stamps:
+            g = gt[key][ts]
+            h = pred.get(key, {}).get(ts, [])
+            gt_frames.append(
+                (np.array([hash(r.object_id) % (2**31) for r in g]),
+                 np.array([r.to_xyxy() for r in g]).reshape(-1, 4))
+            )
+            hyp_frames.append(
+                (np.array([hash(r.object_id) % (2**31) for r in h]),
+                 np.array([r.to_xyxy() for r in h]).reshape(-1, 4))
+            )
+        m = evaluate_mot(gt_frames, hyp_frames, iou_threshold=args.iou)
+        agg[f"{key[0]}/{key[1]}"] = m.as_dict()
+    print(json.dumps(agg, indent=2))
+
+
+def cmd_train(args):
+    import jax
+    import numpy as np
+
+    from waymo_2d_tracking_tpu.data.synthetic import render_detection_batch
+    from waymo_2d_tracking_tpu.parallel import sharding as shd
+    from waymo_2d_tracking_tpu.train.train import DetectorTrainer, train_loop
+
+    cfg = _load_config(args)
+    mesh = shd.make_mesh() if args.sharded else None
+    trainer = DetectorTrainer(cfg, mesh=mesh)
+    if args.data_dir:
+        from waymo_2d_tracking_tpu.data.coco import coco_batch_iterator
+
+        data = coco_batch_iterator(
+            args.data_dir, cfg.train.batch_size, cfg.detector.image_size
+        )
+    else:  # synthetic smoke-training
+        rng = np.random.default_rng(args.seed)
+
+        def synth():
+            while True:
+                yield render_detection_batch(
+                    rng, cfg.train.batch_size, cfg.detector.image_size
+                )
+
+        data = synth()
+    state = train_loop(
+        trainer, data, num_steps=args.steps or cfg.train.total_steps,
+        checkpoint_every=cfg.train.checkpoint_every,
+    )
+    trainer.save_checkpoint(state)
+
+
+def cmd_convert(args):
+    from waymo_2d_tracking_tpu.data.coco import convert_segments_to_coco
+
+    n = convert_segments_to_coco(args.segments_dir, args.out_dir)
+    print(json.dumps({"images": n, "out": args.out_dir}))
+
+
+def cmd_bench(args):
+    import subprocess
+
+    cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")]
+    if args.config1:
+        cmd.append("--config1")
+    os.execv(sys.executable, cmd)
+
+
+def _load_params(path):
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(path)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="w2t", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", default=None, help="yaml preset path")
+        sp.add_argument("--set", nargs="*", help="dotted overrides key=value")
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--params", default=None, help="orbax checkpoint path")
+
+    sp = sub.add_parser("track", help="detect+track segments -> track files")
+    common(sp)
+    sp.add_argument("--segments-dir")
+    sp.add_argument("--out-dir", default="out")
+    sp.add_argument("--from-detections", help="JSONL detections (config-1 path)")
+    sp.add_argument("--out", default="tracks.jsonl")
+    sp.add_argument("--fail-after-n-segments", type=int, default=None)
+    sp.set_defaults(fn=cmd_track)
+
+    sp = sub.add_parser("detect", help="detection-only inference")
+    common(sp)
+    sp.add_argument("--segments-dir", required=True)
+    sp.add_argument("--out", default="detections.jsonl")
+    sp.set_defaults(fn=cmd_detect)
+
+    sp = sub.add_parser("submit", help="JSONL -> Waymo submission pb")
+    sp.add_argument("inputs", nargs="+")
+    sp.add_argument("--out", default="submission.pb")
+    sp.set_defaults(fn=cmd_submit)
+
+    sp = sub.add_parser("eval", help="MOTA/MOTP vs ground truth")
+    sp.add_argument("--pred", required=True)
+    sp.add_argument("--gt", required=True)
+    sp.add_argument("--iou", type=float, default=0.5)
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("train", help="train the detector")
+    common(sp)
+    sp.add_argument("--data-dir", default=None, help="COCO-converted data")
+    sp.add_argument("--steps", type=int, default=None)
+    sp.add_argument("--sharded", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("convert", help="Waymo segments -> COCO detection data")
+    sp.add_argument("--segments-dir", required=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("bench", help="run the benchmark harness")
+    sp.add_argument("--config1", action="store_true")
+    sp.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv: Optional[List[str]] = None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""COCO-format conversion + training data iterator (component C4).
+
+The reference converts Waymo labels to a COCO detection dataset to train its
+detector (SURVEY.md §2 C4 [RECALLED]). Same here: segments (tfrecord or
+directory format, data/waymo.py) -> a COCO ``annotations.json`` + image
+files; plus a batched iterator that feeds train/train.py.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence, Tuple
+
+import numpy as np
+
+# internal class ids: 0 vehicle, 1 pedestrian, 2 cyclist
+WAYMO_TYPE_TO_CLASS = {1: 0, 2: 1, 4: 2}
+CATEGORIES = [
+    {"id": 1, "name": "vehicle"},
+    {"id": 2, "name": "pedestrian"},
+    {"id": 3, "name": "cyclist"},
+]
+
+
+def convert_segments_to_coco(segments_dir: str, out_dir: str) -> int:
+    """Waymo segments -> COCO dataset dir (images/ + annotations.json)."""
+    from waymo_2d_tracking_tpu.data import waymo
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    images, annotations = [], []
+    img_id = ann_id = 0
+
+    for entry in sorted(os.listdir(segments_dir)):
+        full = os.path.join(segments_dir, entry)
+        if entry.endswith(".tfrecord"):
+            for rec in waymo.read_tfrecord(full):
+                fr = waymo.parse_frame(rec)
+                for cam, jpeg in fr["images"].items():
+                    if not jpeg:
+                        continue
+                    img_id += 1
+                    fname = f"{img_id:08d}.jpg"
+                    with open(os.path.join(out_dir, "images", fname), "wb") as f:
+                        f.write(jpeg)
+                    images.append({"id": img_id, "file_name": fname})
+                    for lab in fr["labels"].get(cam, []):
+                        x1, y1, x2, y2 = lab["xyxy"]
+                        ann_id += 1
+                        annotations.append({
+                            "id": ann_id, "image_id": img_id,
+                            "category_id": WAYMO_TYPE_TO_CLASS.get(lab["type"], 0) + 1,
+                            "bbox": [x1, y1, x2 - x1, y2 - y1],
+                            "area": (x2 - x1) * (y2 - y1),
+                            "iscrowd": 0,
+                            "track_id": lab["id"],
+                        })
+        elif os.path.isdir(full) and os.path.exists(os.path.join(full, "meta.json")):
+            meta = json.load(open(os.path.join(full, "meta.json")))
+            labels_path = os.path.join(full, "labels.jsonl")
+            by_frame = {}
+            if os.path.exists(labels_path):
+                for r in subm.read_jsonl(labels_path):
+                    by_frame.setdefault((r.timestamp_micros, r.camera_name), []).append(r)
+            for t, ts in enumerate(meta["timestamps"]):
+                for cam_name, cam_id in meta["cameras"].items():
+                    src = os.path.join(full, "frames", f"{t}_{cam_id}.jpg")
+                    if not os.path.exists(src):
+                        continue
+                    img_id += 1
+                    fname = f"{img_id:08d}.jpg"
+                    with open(src, "rb") as fi, open(
+                        os.path.join(out_dir, "images", fname), "wb"
+                    ) as fo:
+                        fo.write(fi.read())
+                    images.append({"id": img_id, "file_name": fname})
+                    for r in by_frame.get((ts, cam_id), []):
+                        x1, y1, x2, y2 = r.to_xyxy()
+                        ann_id += 1
+                        annotations.append({
+                            "id": ann_id, "image_id": img_id,
+                            "category_id": WAYMO_TYPE_TO_CLASS.get(r.object_type, 0) + 1,
+                            "bbox": [x1, y1, x2 - x1, y2 - y1],
+                            "area": (x2 - x1) * (y2 - y1),
+                            "iscrowd": 0,
+                            "track_id": r.object_id,
+                        })
+
+    with open(os.path.join(out_dir, "annotations.json"), "w") as f:
+        json.dump(
+            {"images": images, "annotations": annotations,
+             "categories": CATEGORIES},
+            f,
+        )
+    return img_id
+
+
+def coco_batch_iterator(
+    coco_dir: str,
+    batch_size: int,
+    image_hw: Tuple[int, int],
+    max_gt: int = 64,
+    seed: int = 0,
+    flip_augment: bool = True,
+) -> Iterator[dict]:
+    """Infinite shuffled batches for the trainer: host decode + letterbox
+    (numpy/cv2) with boxes transformed accordingly."""
+    import cv2
+    import jax.numpy as jnp
+
+    with open(os.path.join(coco_dir, "annotations.json")) as f:
+        coco = json.load(f)
+    anns_by_img = {}
+    for a in coco["annotations"]:
+        anns_by_img.setdefault(a["image_id"], []).append(a)
+    items = [(im["id"], im["file_name"]) for im in coco["images"]]
+    rng = np.random.default_rng(seed)
+    hd, wd = image_hw
+
+    while True:
+        idx = rng.choice(len(items), size=batch_size, replace=len(items) < batch_size)
+        images = np.zeros((batch_size, hd, wd, 3), np.float32)
+        gt_boxes = np.zeros((batch_size, max_gt, 4), np.float32)
+        gt_classes = np.zeros((batch_size, max_gt), np.int32)
+        gt_valid = np.zeros((batch_size, max_gt), bool)
+        for n, i in enumerate(idx):
+            img_id, fname = items[i]
+            bgr = cv2.imread(os.path.join(coco_dir, "images", fname))
+            rgb = bgr[:, :, ::-1].astype(np.float32) / 255.0
+            hs, ws = rgb.shape[:2]
+            scale = min(hd / hs, wd / ws)
+            eh, ew = int(round(hs * scale)), int(round(ws * scale))
+            resized = cv2.resize(rgb, (ew, eh), interpolation=cv2.INTER_LINEAR)
+            flip = flip_augment and rng.uniform() < 0.5
+            if flip:
+                resized = resized[:, ::-1]
+            images[n, :eh, :ew] = resized
+            for g, a in enumerate(anns_by_img.get(img_id, [])[:max_gt]):
+                x, y, w, h = a["bbox"]
+                x1, y1, x2, y2 = x * scale, y * scale, (x + w) * scale, (y + h) * scale
+                if flip:
+                    x1, x2 = ew - x2, ew - x1
+                gt_boxes[n, g] = [x1, y1, x2, y2]
+                gt_classes[n, g] = a["category_id"] - 1
+                gt_valid[n, g] = True
+        # normalize like data/preprocess
+        from waymo_2d_tracking_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+        images = (images - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+            IMAGENET_STD, np.float32
+        )
+        yield {
+            "images": jnp.asarray(images),
+            "gt_boxes": jnp.asarray(gt_boxes),
+            "gt_classes": jnp.asarray(gt_classes),
+            "gt_valid": jnp.asarray(gt_valid),
+        }

@@ -178,6 +178,30 @@ def read_waymo_pb(path: str) -> List[TrackRecord]:
     return out
 
 
+def records_from_detections(
+    dets, context_name: str, timestamps: Sequence[int], camera_name: int,
+    scale: float = 1.0,
+) -> List["TrackRecord"]:
+    """Stacked Detections (T, D, ...) -> flat records; object_id is the
+    per-frame detection index (no identity across frames)."""
+    valid = np.asarray(dets.valid)
+    boxes = np.asarray(dets.boxes) / scale
+    scores = np.asarray(dets.scores)
+    classes = np.asarray(dets.classes)
+    recs = []
+    for t in range(valid.shape[0]):
+        for i in np.flatnonzero(valid[t]):
+            recs.append(
+                TrackRecord.from_xyxy(
+                    context_name, timestamps[t], camera_name,
+                    object_id=f"det_{t}_{int(i)}",
+                    object_type=CLASS_TO_WAYMO_TYPE[int(classes[t, i]) % 3],
+                    box_xyxy=boxes[t, i], score=scores[t, i],
+                )
+            )
+    return recs
+
+
 def records_from_track_outputs(
     outputs, context_name: str, timestamps: Sequence[int], camera_name: int,
     scale: float = 1.0,

@@ -90,6 +90,16 @@ class SegmentPipeline:
             )
         self.params = params
         self._chunk_step = jax.jit(self._chunk_step_impl, static_argnames=("src_hw",))
+        self._detect_chunk = jax.jit(
+            self._detect_chunk_impl, static_argnames=("src_hw",)
+        )
+
+    def _detect_chunk_impl(self, params, frames_u8, src_hw):
+        """Detection-only chunk (config-1 producer / `detect` CLI)."""
+        images, scale = letterbox_batch(
+            frames_u8, src_hw, self.cfg.detector.image_size
+        )
+        return self.detector._detect_impl(params, images), scale
 
     def _chunk_step_impl(self, params, tracker_state, frames_u8, src_hw):
         """frames_u8 (chunk, Hs, Ws, 3) uint8 -> (new_state, outputs, scale)."""
@@ -121,28 +131,41 @@ class SegmentPipeline:
             src_hw = tuple(first.shape[1:3])
 
         state = init_state(cfg.tracker)
-        outputs_host: List[TrackOutputs] = []
+        outputs_host: List = []
         scale = 1.0
         t0 = time.perf_counter()
         for dev_chunk in prefetch_to_device(
             segment.chunk_iter(chunk), depth=cfg.pipeline.prefetch_depth
         ):
-            state, outputs, scale = self._chunk_step(
-                self.params, state, dev_chunk, src_hw
-            )
-            outputs_host.append(jax.device_get(outputs))
+            if detections_only:
+                dets, scale = self._detect_chunk(self.params, dev_chunk, src_hw)
+                outputs_host.append(jax.device_get(dets))
+            else:
+                state, outputs, scale = self._chunk_step(
+                    self.params, state, dev_chunk, src_hw
+                )
+                outputs_host.append(jax.device_get(outputs))
         wall = time.perf_counter() - t0
 
         # concat chunks, trim padding frames
         stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outputs_host)
         stacked = jax.tree.map(lambda x: x[:t_total], stacked)
-        records = subm.records_from_track_outputs(
-            stacked,
-            segment.context_name,
-            segment.timestamps,
-            segment.camera_name,
-            scale=float(scale),
-        )
+        if detections_only:
+            records = subm.records_from_detections(
+                stacked,
+                segment.context_name,
+                segment.timestamps,
+                segment.camera_name,
+                scale=float(scale),
+            )
+        else:
+            records = subm.records_from_track_outputs(
+                stacked,
+                segment.context_name,
+                segment.timestamps,
+                segment.camera_name,
+                scale=float(scale),
+            )
         stats = {
             "context": segment.context_name,
             "camera": segment.camera_name,
