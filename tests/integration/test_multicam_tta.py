@@ -1,0 +1,101 @@
+"""Config-4/5 integration: multi-camera shared-backbone batch + per-camera
+tracker states; TTA candidate merge."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from waymo_2d_tracking_tpu.config import (
+    Config,
+    DetectorConfig,
+    PipelineConfig,
+    TrackerConfig,
+)
+from waymo_2d_tracking_tpu.pipeline.multicam import (
+    MultiCamPipeline,
+    init_multicam_state,
+)
+from waymo_2d_tracking_tpu.pipeline.tta import (
+    detect_tta_single,
+    flip_image,
+    unflip_boxes,
+)
+
+SLIM = Config(
+    detector=DetectorConfig(
+        backbone="resnet18slim", image_size=(64, 96), fpn_channels=32,
+        head_depth=1, pre_nms_topk=32, max_detections=8, embed_dim=0,
+        dtype="float32", score_threshold=0.01,
+    ),
+    tracker=TrackerConfig(max_tracks=16, max_detections=8, embed_dim=0,
+                          score_threshold=0.0, birth_score_threshold=0.0,
+                          n_init=1),
+    pipeline=PipelineConfig(chunk_frames=2),
+)
+
+
+def test_multicam_run_shapes_and_state_independence():
+    pipe = MultiCamPipeline(SLIM, num_cams=3, rng=jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (4, 3, 72, 104, 3), dtype=np.uint8)
+    states, outputs, scale = pipe.run(frames)
+    assert outputs.valid.shape == (4, 3, 16)
+    assert outputs.boxes.shape == (4, 3, 16, 4)
+    # per-camera next_id independent counters
+    next_ids = np.asarray(states.next_id)
+    assert next_ids.shape == (3,)
+
+
+def test_multicam_matches_single_camera():
+    """Camera k of the multicam run == a single-camera run on that stream."""
+    pipe = MultiCamPipeline(SLIM, num_cams=2, rng=jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, (4, 2, 72, 104, 3), dtype=np.uint8)
+    _, out_mc, _ = pipe.run(frames)
+
+    # single-camera path with the same params via num_cams=1
+    pipe1 = MultiCamPipeline(SLIM, num_cams=1, params=pipe.params)
+    _, out_1, _ = pipe1.run(frames[:, :1])
+    np.testing.assert_allclose(
+        np.asarray(out_mc.boxes[:, 0]), np.asarray(out_1.boxes[:, 0]),
+        atol=0.1, rtol=0.02,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_mc.track_id[:, 0]), np.asarray(out_1.track_id[:, 0])
+    )
+
+
+def test_unflip_boxes_involution():
+    boxes = jnp.asarray([[10.0, 5.0, 30.0, 25.0]])
+    w = 96.0
+    np.testing.assert_allclose(
+        np.asarray(unflip_boxes(unflip_boxes(boxes, w), w)), np.asarray(boxes)
+    )
+    flipped = np.asarray(unflip_boxes(boxes, w))
+    np.testing.assert_allclose(flipped[0], [66.0, 5.0, 86.0, 25.0])
+
+
+def test_flip_image_involution():
+    x = jnp.arange(2 * 4 * 6 * 3, dtype=jnp.float32).reshape(2, 4, 6, 3)
+    np.testing.assert_array_equal(np.asarray(flip_image(flip_image(x))), np.asarray(x))
+
+
+def test_tta_detects_superset_quality():
+    """TTA with flip must produce detections consistent with no-TTA (same
+    image, same weights): valid count >= plain, boxes within image."""
+    from waymo_2d_tracking_tpu.models.detector import Detector
+
+    cfg = SLIM.detector
+    module = Detector(cfg)
+    rng = jax.random.PRNGKey(0)
+    image = jax.random.uniform(jax.random.PRNGKey(1), (64, 96, 3))
+    params = module.init(rng, image[None], method=Detector.init_all)
+
+    boxes, scores, classes, valid = detect_tta_single(
+        module, params, image, cfg, scales=(1.0,), flip=True, interpret=True
+    )
+    assert boxes.shape == (cfg.max_detections, 4)
+    v = np.asarray(valid)
+    assert v.any()
+    s = np.asarray(scores)[v]
+    assert np.all(np.diff(s) <= 0)

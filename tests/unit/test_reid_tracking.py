@@ -1,0 +1,112 @@
+"""Config-3/5 tracker behavior: appearance cost fusion and long-horizon
+re-ID recovery (C11/C13 wiring + SLOT_LOST lifecycle)."""
+import numpy as np
+import jax.numpy as jnp
+
+from waymo_2d_tracking_tpu.config import TrackerConfig
+from waymo_2d_tracking_tpu.tracker import Tracker
+from waymo_2d_tracking_tpu.types import Detections
+
+
+def make_dets(frames, embed_dim=8):
+    """frames: list of list of (box4, score, cls, embed_vec or None)."""
+    d = max(max((len(f) for f in frames), default=1), 1)
+    t = len(frames)
+    boxes = np.zeros((t, d, 4), np.float32)
+    scores = np.zeros((t, d), np.float32)
+    classes = np.zeros((t, d), np.int32)
+    embeds = np.zeros((t, d, embed_dim), np.float32)
+    valid = np.zeros((t, d), bool)
+    for i, frame in enumerate(frames):
+        for j, (box, sc, cl, e) in enumerate(frame):
+            boxes[i, j] = box
+            scores[i, j] = sc
+            classes[i, j] = cl
+            if e is not None:
+                embeds[i, j] = e / np.linalg.norm(e)
+            valid[i, j] = True
+    return Detections(
+        boxes=jnp.asarray(boxes), scores=jnp.asarray(scores),
+        classes=jnp.asarray(classes), embeds=jnp.asarray(embeds),
+        valid=jnp.asarray(valid),
+    )
+
+
+def box(x, y, w=40.0, h=40.0):
+    return np.array([x, y, x + w, y + h], np.float32)
+
+
+E = np.eye(8, dtype=np.float32)  # orthogonal embeddings
+
+
+def emitted(outs, t):
+    v = np.asarray(outs.valid[t])
+    return dict(zip(np.asarray(outs.track_id[t])[v].tolist(),
+                    np.asarray(outs.boxes[t])[v].tolist()))
+
+
+def test_appearance_breaks_iou_tie():
+    """Two identical-geometry detections crossing: appearance keeps ids."""
+    cfg = TrackerConfig(max_tracks=8, max_detections=4, embed_dim=8,
+                        appearance_weight=0.5, appearance_gate=0.9,
+                        iou_threshold=0.05, n_init=2, max_age=2)
+    tracker = Tracker(cfg)
+    # objects approach, overlap heavily at the middle frame, then separate.
+    frames = []
+    for t in range(9):
+        xa = 100 + 10 * t      # A moves right
+        xb = 180 - 10 * t      # B moves left
+        frames.append([
+            (box(xa, 100), 0.9, 0, E[0]),
+            (box(xb, 100), 0.9, 0, E[1]),
+        ])
+    _, outs = tracker.run(make_dets(frames))
+    # match each final det to an id; A ends at 180, B ends at 100
+    last = emitted(outs, 8)
+    first = emitted(outs, 1)
+    assert set(last) == set(first) == {0, 1}
+
+
+def test_reid_recovery_restores_id_after_long_gap():
+    cfg = TrackerConfig(max_tracks=8, max_detections=4, embed_dim=8,
+                        appearance_weight=0.3, appearance_gate=0.4,
+                        n_init=2, max_age=2, reid_recovery=True,
+                        max_lost_age=20)
+    tracker = Tracker(cfg)
+    frames = (
+        [[(box(100, 100), 0.9, 0, E[0])] for _ in range(5)]
+        + [[] for _ in range(8)]                       # long occlusion
+        + [[(box(300, 300), 0.9, 0, E[0])] for _ in range(5)]  # reappears elsewhere
+    )
+    _, outs = tracker.run(make_dets(frames))
+    before = {i for t in range(5) for i in emitted(outs, t)}
+    after = {i for t in range(14, 18) for i in emitted(outs, t)}
+    assert before == {0}
+    assert after == {0}, f"identity lost across occlusion: {after}"
+
+
+def test_no_recovery_for_different_appearance():
+    cfg = TrackerConfig(max_tracks=8, max_detections=4, embed_dim=8,
+                        appearance_weight=0.3, appearance_gate=0.4,
+                        n_init=2, max_age=2, reid_recovery=True,
+                        max_lost_age=20)
+    tracker = Tracker(cfg)
+    frames = (
+        [[(box(100, 100), 0.9, 0, E[0])] for _ in range(5)]
+        + [[] for _ in range(8)]
+        + [[(box(300, 300), 0.9, 0, E[1])] for _ in range(5)]  # different object
+    )
+    _, outs = tracker.run(make_dets(frames))
+    before = {i for t in range(5) for i in emitted(outs, t)}
+    after = {i for t in range(14, 18) for i in emitted(outs, t)}
+    assert before == {0}
+    assert after and 0 not in after, "recovered across a failed appearance gate"
+
+
+def test_lost_track_eventually_dies():
+    cfg = TrackerConfig(max_tracks=8, max_detections=4, embed_dim=8,
+                        n_init=2, max_age=2, reid_recovery=True, max_lost_age=5)
+    tracker = Tracker(cfg)
+    frames = [[(box(100, 100), 0.9, 0, E[0])] for _ in range(5)] + [[]] * 12
+    state, _ = tracker.run(make_dets(frames))
+    assert np.all(np.asarray(state.status) == 0)

@@ -99,12 +99,15 @@ def _level_candidates(
     return top_boxes, top_scores, cls_idx
 
 
-def postprocess_single(
+def gather_candidates(
     head_out: Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
     cfg: DetectorConfig,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single image: head outputs -> (boxes (D,4), scores, classes, valid)."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single image: per-level top-k candidates concatenated over levels.
+
+    Returns (boxes (C,4), scores (C,), classes (C,)). Exposed separately so
+    TTA (C19) can merge candidate sets from several views before one NMS.
+    """
     cand_boxes, cand_scores, cand_classes = [], [], []
     for lvl in cfg.fpn_levels:
         cls_l, ltrb_l, ctr_l = head_out[lvl]
@@ -114,13 +117,23 @@ def postprocess_single(
         cand_boxes.append(b)
         cand_scores.append(s)
         cand_classes.append(c)
-    boxes = jnp.concatenate(cand_boxes, axis=0)
-    scores = jnp.concatenate(cand_scores, axis=0)
-    classes = jnp.concatenate(cand_classes, axis=0)
+    return (
+        jnp.concatenate(cand_boxes, axis=0),
+        jnp.concatenate(cand_scores, axis=0),
+        jnp.concatenate(cand_classes, axis=0),
+    )
 
-    # class-aware NMS via coordinate offset
+
+def select_detections(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    cfg: DetectorConfig,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Class-aware Pallas NMS + final top-D selection over candidates."""
     shifted = boxes + (classes.astype(jnp.float32) * _CLASS_NMS_OFFSET)[:, None]
-    nms_boxes, nms_scores, keep_idx, valid = nms(
+    _nms_boxes, nms_scores, keep_idx, valid = nms(
         shifted, scores,
         iou_threshold=cfg.nms_iou_threshold,
         max_outputs=cfg.max_detections,
@@ -133,6 +146,16 @@ def postprocess_single(
     return out_boxes, nms_scores, out_classes, valid
 
 
+def postprocess_single(
+    head_out: Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    cfg: DetectorConfig,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single image: head outputs -> (boxes (D,4), scores, classes, valid)."""
+    boxes, scores, classes = gather_candidates(head_out, cfg)
+    return select_detections(boxes, scores, classes, cfg, interpret=interpret)
+
+
 class DetectorRunner:
     """Jitted detect() producing tracker-ready Detections.
 
@@ -140,7 +163,7 @@ class DetectorRunner:
     BASELINE config 4).
     """
 
-    def __init__(self, cfg: Optional[DetectorConfig] = None, interpret: bool = False):
+    def __init__(self, cfg: Optional[DetectorConfig] = None, interpret: bool | None = None):
         self.cfg = cfg or DetectorConfig()
         self.module = Detector(self.cfg)
         self._interpret = interpret

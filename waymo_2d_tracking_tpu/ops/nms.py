@@ -124,17 +124,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _auto_interpret(interpret):
+    """Pallas compiles only on TPU; everywhere else fall back to the
+    interpreter so the same code runs in CPU CI and tests."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
 def pallas_nms_mask(
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float = 0.6,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Greedy NMS keep-mask. boxes (N, 4) MUST be score-sorted descending.
 
     valid: (N,) bool/float mask of real entries. Returns (N,) bool keep mask.
     """
+    interpret = _auto_interpret(interpret)
     n = boxes.shape[0]
     n_pad = _round_up(max(n, _BLOCK), _BLOCK)
     planes = []
@@ -162,7 +171,7 @@ def nms(
     iou_threshold: float = 0.6,
     max_outputs: int = 128,
     score_threshold: float = 0.0,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Full NMS: sort by score, suppress, return top ``max_outputs``.
 

@@ -56,10 +56,12 @@ def _threshold_kernel(scores_ref, thr_ref, cnt_ref, *, k: int, iters: int):
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def pallas_topk_threshold(
-    scores: jnp.ndarray, k: int, interpret: bool = False
+    scores: jnp.ndarray, k: int, interpret: bool | None = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-th-largest value of ``scores`` (any shape, flattened) + the
     count of entries strictly above it. Returns (kth_value (), n_above ())."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     flat = scores.reshape(1, -1).astype(jnp.float32)
     n = flat.shape[1]
     if k > n:
@@ -80,7 +82,7 @@ def pallas_topk_threshold(
     return thr[0, 0], cnt[0, 0]
 
 
-def topk_mask(scores: jnp.ndarray, k: int, interpret: bool = False) -> jnp.ndarray:
+def topk_mask(scores: jnp.ndarray, k: int, interpret: bool | None = None) -> jnp.ndarray:
     """Boolean mask selecting exactly the top-k entries (ties broken by
     lowest flat index), via the Pallas threshold kernel + XLA tie ranking."""
     kth, n_above = pallas_topk_threshold(scores, k, interpret=interpret)

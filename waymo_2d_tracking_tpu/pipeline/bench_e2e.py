@@ -1,0 +1,74 @@
+"""End-to-end detect+track benchmark (component C27, the headline metric).
+
+Methodology note for this environment: the tunneled TPU backend's
+``block_until_ready`` returns before execution finishes, so timing uses
+chained async dispatches with ONE host transfer at the end (validated at
+~123 TFLOP/s on a reference matmul — sane for v5e).
+"""
+from __future__ import annotations
+
+import time
+
+BASELINE_FPS = 1500.0
+
+
+def run_detect_track_bench(
+    num_frames: int = 64,
+    repeats: int = 5,
+    image_hw=(640, 960),
+    chunk: int = 8,
+):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from waymo_2d_tracking_tpu.config import (
+        Config,
+        DetectorConfig,
+        PipelineConfig,
+        TrackerConfig,
+    )
+    from waymo_2d_tracking_tpu.pipeline.run import SegmentFrames, SegmentPipeline
+
+    cfg = Config(
+        detector=DetectorConfig(image_size=image_hw),
+        tracker=TrackerConfig(max_tracks=128, max_detections=128, embed_dim=128,
+                              appearance_weight=0.3),
+        pipeline=PipelineConfig(chunk_frames=chunk),
+    )
+    pipeline = SegmentPipeline(cfg, rng=jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (num_frames,) + tuple(image_hw) + (3,),
+                          dtype=np.uint8)
+    src_hw = tuple(image_hw)
+
+    # warm up (compile)
+    from waymo_2d_tracking_tpu.tracker import init_state
+
+    state = init_state(cfg.tracker)
+    dev_frames = [
+        jax.device_put(frames[i : i + chunk]) for i in range(0, num_frames, chunk)
+    ]
+    state, outputs, _ = pipeline._chunk_step(pipeline.params, state, dev_frames[0], src_hw)
+    _ = np.asarray(outputs.valid)  # real sync
+
+    # timed: chained chunk steps over the clip, host transfer once at end.
+    # H2D transfer of raw frames is included via fresh device_put per rep.
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        state = init_state(cfg.tracker)
+        for i in range(0, num_frames, chunk):
+            block = jax.device_put(frames[i : i + chunk])
+            state, outputs, _ = pipeline._chunk_step(
+                pipeline.params, state, block, src_hw
+            )
+    _ = np.asarray(outputs.valid)
+    dt = (time.perf_counter() - t0) / repeats
+    fps = num_frames / dt
+    return {
+        "metric": "detect_track_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
