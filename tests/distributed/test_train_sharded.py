@@ -27,11 +27,22 @@ def test_mesh_has_8_virtual_devices():
 
 
 @pytest.fixture(scope="module")
-def trainer_state():
+def trainer_factory():
     mesh = shd.make_mesh()
     trainer = DetectorTrainer(CFG, mesh=mesh)
-    state = trainer.create_state(jax.random.PRNGKey(0), batch_size=8)
-    return trainer, state
+    state0 = trainer.create_state(jax.random.PRNGKey(0), batch_size=8)
+    host_state = jax.device_get(state0)  # train_step donates its input
+
+    def fresh_state():
+        return shd.replicate(host_state, mesh)
+
+    return trainer, fresh_state
+
+
+@pytest.fixture()
+def trainer_state(trainer_factory):
+    trainer, fresh = trainer_factory
+    return trainer, fresh()
 
 
 def test_sharded_train_step_runs_and_loss_decreases(trainer_state):

@@ -123,3 +123,23 @@ def test_inside_vmap_and_scan():
     for k in range(3):
         used = [j for j in np.asarray(out[k]) if j >= 0]
         assert len(used) == len(set(used))
+
+
+def test_pallas_kernel_matches_xla_path():
+    """The in-kernel Pallas auction (interpret mode on CPU) must produce an
+    equally-optimal assignment to the XLA while_loop path."""
+    rng = np.random.default_rng(7)
+    for r, c in [(16, 16), (20, 8), (8, 20)]:
+        cost = rng.uniform(0, 2, size=(r, c)).astype(np.float32)
+        rtc_x, _ = auction_assign(jnp.asarray(cost), eps_min=EPS_MIN,
+                                  max_iters=4096, use_pallas=False)
+        rtc_p, _ = auction_assign(jnp.asarray(cost), eps_min=EPS_MIN,
+                                  max_iters=4096, use_pallas=True)
+        ri, ci = linear_sum_assignment(cost)
+        opt = cost[ri, ci].sum()
+        for name, rtc in [("xla", np.asarray(rtc_x)), ("pallas", np.asarray(rtc_p))]:
+            used = [j for j in rtc if j >= 0]
+            assert len(used) == len(set(used)) == len(ri), (name, rtc)
+            got = total_cost(cost, rtc)
+            n = 128  # pallas pads to 128
+            assert got <= opt + n * EPS_MIN + 1e-4, (name, got, opt)

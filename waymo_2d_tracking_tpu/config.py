@@ -64,7 +64,10 @@ class DetectorConfig:
     head_depth: int = 4
     # anchor-free (FCOS-style) head: one box + per-class score per location
     score_threshold: float = 0.05
-    pre_nms_topk: int = 1000
+    pre_nms_topk: int = 512   # per level; 1000 matches the usual FCOS setting
+                              # but 512 halves NMS work with negligible recall
+                              # impact at Waymo scene densities
+    nms_topk: int = 1024      # global cross-level candidate cap fed to NMS
     nms_iou_threshold: float = 0.6
     max_detections: int = 128
     embed_dim: int = 128                 # ReID head output (0 disables)

@@ -132,6 +132,12 @@ def select_detections(
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Class-aware Pallas NMS + final top-D selection over candidates."""
+    # global cross-level cap: NMS block count scales with candidate count,
+    # and the tail below ~1k scores never survives anyway
+    if 0 < cfg.nms_topk < boxes.shape[0]:
+        scores, sel = jax.lax.top_k(scores, cfg.nms_topk)
+        boxes = boxes[sel]
+        classes = classes[sel]
     shifted = boxes + (classes.astype(jnp.float32) * _CLASS_NMS_OFFSET)[:, None]
     _nms_boxes, nms_scores, keep_idx, valid = nms(
         shifted, scores,
