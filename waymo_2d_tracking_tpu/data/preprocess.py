@@ -61,11 +61,12 @@ def letterbox_batch(
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
     x = (x - mean) / std
 
-    ry = _resize_matrix(hs, eff_h, scale)                   # (eff_h, Hs)
-    rx = _resize_matrix(ws, eff_w, scale)                   # (eff_w, Ws)
-    hp = jax.lax.Precision.DEFAULT
-    x = jnp.einsum("eh,nhwc->newc", ry, x, precision=hp)
-    x = jnp.einsum("fw,newc->nefc", rx, x, precision=hp)
+    if (eff_h, eff_w) != (hs, ws):
+        ry = _resize_matrix(hs, eff_h, scale)               # (eff_h, Hs)
+        rx = _resize_matrix(ws, eff_w, scale)               # (eff_w, Ws)
+        hp = jax.lax.Precision.DEFAULT
+        x = jnp.einsum("eh,nhwc->newc", ry, x, precision=hp)
+        x = jnp.einsum("fw,newc->nefc", rx, x, precision=hp)
 
     x = jnp.pad(x, ((0, 0), (0, hd - eff_h), (0, wd - eff_w), (0, 0)))
     return x.astype(out_dtype), jnp.float32(scale)

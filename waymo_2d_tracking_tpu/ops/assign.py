@@ -109,8 +109,9 @@ def _auction_kernel(eps0_ref, benefit_ref, out_ref, *, eps_scale: float,
     """
     b = benefit_ref[:]                                             # (n, n)
     eps0 = eps0_ref[0, 0]
-    col_iota = jax.lax.broadcasted_iota(jnp.float32, (n, n), 1)
-    row_iota = jax.lax.broadcasted_iota(jnp.float32, (n, n), 0)
+    # Mosaic's tpu.iota is integer-only; cast after
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1).astype(jnp.float32)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0).astype(jnp.float32)
     big = jnp.float32(1e30)
     nf = jnp.float32(n)
 
