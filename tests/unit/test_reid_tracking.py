@@ -110,3 +110,39 @@ def test_lost_track_eventually_dies():
     frames = [[(box(100, 100), 0.9, 0, E[0])] for _ in range(5)] + [[]] * 12
     state, _ = tracker.run(make_dets(frames))
     assert np.all(np.asarray(state.status) == 0)
+
+
+def test_gallery_recovers_older_appearance():
+    """With a K>1 gallery, a track whose appearance drifted A->B can still be
+    recovered by its older appearance A after occlusion; with K=1 EMA-only
+    scoring (drifted fully to B) the same scenario fails the gate."""
+    def run_with(gallery_size):
+        cfg = TrackerConfig(max_tracks=8, max_detections=4, embed_dim=8,
+                            appearance_weight=0.3, appearance_gate=0.35,
+                            n_init=2, max_age=2, reid_recovery=True,
+                            max_lost_age=30, gallery_size=gallery_size,
+                            embed_ema=0.4)  # fast drift
+        tracker = Tracker(cfg)
+        a, b = E[0], E[1]
+        drift_frames = 14
+        frames = [
+            # appearance slerps A -> B gradually so stage-1 keeps matching
+            [(box(100 + 5 * t, 100), 0.9, 0,
+              np.cos(np.pi / 2 * t / drift_frames) * a
+              + np.sin(np.pi / 2 * t / drift_frames) * b)]
+            for t in range(drift_frames + 1)
+        ] + [[] for _ in range(8)] + [
+            [(box(400, 400), 0.9, 0, a)] for _ in range(4)     # reappears as A
+        ]
+        _, outs = tracker.run(make_dets(frames))
+        t_back = drift_frames + 1 + 8
+        before = {i for t in range(4) for i in emitted(outs, t)}
+        after = {i for t in range(t_back + 1, t_back + 4) for i in emitted(outs, t)}
+        return before, after
+
+    before, after = run_with(gallery_size=10)
+    assert before == {0} and after == {0}, (before, after)
+
+    before1, after1 = run_with(gallery_size=1)
+    # EMA drifted to B: appearance A fails the 0.3 gate -> new id
+    assert before1 == {0} and 0 not in after1, (before1, after1)

@@ -42,6 +42,10 @@ class TrackerConfig:
     max_lost_age: int = 30         # frames a lost track is kept for re-ID recovery
     reid_recovery: bool = False    # stage-2 association vs lost tracks (config 5)
     embed_ema: float = 0.9         # EMA factor for track embedding updates
+    gallery_size: int = 1          # per-track appearance gallery ring buffer
+                                   # (K>1 scores stage-2 recovery against the
+                                   # K most recent distinct appearances, not
+                                   # just the EMA — SURVEY.md §5 long-context)
 
     kalman: KalmanConfig = dataclasses.field(default_factory=KalmanConfig)
 

@@ -71,7 +71,9 @@ def roi_align(
     h, w, c = features.shape
     r = boxes.shape[0]
     p = output_size
-    f32 = features.astype(jnp.float32)
+    # pool in the features' own dtype (bf16 in the detector): the pooling
+    # matmuls are the hot path and the ReID head downstream is bf16 anyway
+    feats = features
 
     x1 = boxes[:, 0] * spatial_scale - 0.5
     y1 = boxes[:, 1] * spatial_scale - 0.5
@@ -90,12 +92,17 @@ def roi_align(
     wy = wy.reshape(-1, roi_chunk, p, h)
     wx = wx.reshape(-1, roi_chunk, p, w)
 
-    hp = jax.lax.Precision.HIGHEST
+    hp = (
+        jax.lax.Precision.HIGHEST
+        if features.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    wdt = features.dtype
 
     def chunk_fn(args):
         wy_c, wx_c = args                                   # (K, P, H), (K, P, W)
-        rows = jnp.einsum("kph,hwc->kpwc", wy_c, f32, precision=hp)
-        return jnp.einsum("kqw,kpwc->kpqc", wx_c, rows, precision=hp)
+        rows = jnp.einsum("kph,hwc->kpwc", wy_c.astype(wdt), feats, precision=hp)
+        return jnp.einsum("kqw,kpwc->kpqc", wx_c.astype(wdt), rows, precision=hp)
 
     out = jax.lax.map(chunk_fn, (wy, wx))                   # (R/K, K, P, P, C)
     out = out.reshape(-1, p, p, c)[:r]

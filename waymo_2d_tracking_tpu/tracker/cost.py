@@ -65,8 +65,20 @@ def stage2_cost(
 
     Lost tracks have stale motion state, so IoU is meaningless; matching is by
     embedding cosine distance alone, gated by ``appearance_gate`` and class.
+    With ``gallery_size > 1`` the distance is the best (minimum) over the
+    track's ring buffer of recent raw appearances AND its EMA embedding —
+    appearance can drift over an occlusion, and any past view may match.
     """
     cos = cosine_distance(state.embed, dets.embeds)
+    if state.gallery.shape[1] > 1:
+        # (S, K, E) x (D, E) -> (S, K, D)
+        cos_g = 1.0 - jnp.einsum("ske,de->skd", state.gallery, dets.embeds)
+        k = state.gallery.shape[1]
+        k_valid = (
+            jnp.arange(k)[None, :] < jnp.minimum(state.gallery_count, k)[:, None]
+        )                                                        # (S, K)
+        cos_g = jnp.where(k_valid[..., None], cos_g, 2.0)
+        cos = jnp.minimum(cos, jnp.min(cos_g, axis=1))
     forbid = cos > cfg.appearance_gate
     forbid = jnp.logical_or(forbid, state.classes[:, None] != dets.classes[None, :])
     forbid = jnp.logical_or(forbid, jnp.logical_not(track_mask[:, None]))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from waymo_2d_tracking_tpu.config import TrackerConfig
@@ -67,8 +68,21 @@ def apply_matches(
         ema = cfg.embed_ema * state.embed + (1.0 - cfg.embed_ema) * det_e
         norm = jnp.maximum(jnp.linalg.norm(ema, axis=-1, keepdims=True), 1e-8)
         embed = jnp.where(matched[:, None], ema / norm, state.embed)
+        # gallery ring write: matched slots record the raw detection embed
+        k = state.gallery.shape[1]
+        slot_pos = jnp.mod(state.gallery_count, k)                  # (S,)
+        onehot = jax.nn.one_hot(slot_pos, k, dtype=state.gallery.dtype)  # (S, K)
+        write = onehot * matched[:, None]                           # (S, K)
+        gallery = (
+            state.gallery * (1.0 - write[..., None])
+            + write[..., None] * det_e[:, None, :]
+        )
+        gallery_count = jnp.where(matched, state.gallery_count + 1,
+                                  state.gallery_count)
     else:
         embed = state.embed
+        gallery = state.gallery
+        gallery_count = state.gallery_count
 
     # Matched TENTATIVE confirms at n_init hits; matched LOST re-confirms.
     status = state.status
@@ -84,6 +98,7 @@ def apply_matches(
     return state.replace(
         mean=mean, cov=cov, hits=hits, time_since_update=tsu,
         score=score, embed=embed, status=status,
+        gallery=gallery, gallery_count=gallery_count,
     )
 
 
@@ -164,11 +179,17 @@ def apply_births(
     score = jnp.where(place, dets.scores[det_idx], state.score)
     if cfg.embed_dim > 0:
         embed = jnp.where(place[:, None], dets.embeds[det_idx], state.embed)
+        fresh = jnp.zeros_like(state.gallery).at[:, 0, :].set(dets.embeds[det_idx])
+        gallery = jnp.where(place[:, None, None], fresh, state.gallery)
+        gallery_count = jnp.where(place, 1, state.gallery_count)
     else:
         embed = state.embed
+        gallery = state.gallery
+        gallery_count = state.gallery_count
 
     return state.replace(
         mean=mean, cov=cov, track_id=track_id, status=status, hits=hits,
         time_since_update=tsu, age=age, classes=classes, score=score,
-        embed=embed, next_id=state.next_id + n_placed,
+        embed=embed, gallery=gallery, gallery_count=gallery_count,
+        next_id=state.next_id + n_placed,
     )

@@ -32,6 +32,7 @@ from waymo_2d_tracking_tpu.types import (
 def init_state(cfg: TrackerConfig, dtype=jnp.float32) -> TrackerState:
     """Fresh empty track table."""
     s, e = cfg.max_tracks, max(cfg.embed_dim, 1)
+    k = max(cfg.gallery_size, 1)
     return TrackerState(
         mean=jnp.zeros((s, kalman.STATE_DIM), dtype),
         cov=jnp.tile(jnp.eye(kalman.STATE_DIM, dtype=dtype), (s, 1, 1)),
@@ -43,6 +44,8 @@ def init_state(cfg: TrackerConfig, dtype=jnp.float32) -> TrackerState:
         classes=jnp.zeros((s,), jnp.int32),
         score=jnp.zeros((s,), dtype),
         embed=jnp.zeros((s, e), dtype),
+        gallery=jnp.zeros((s, k, e), dtype),
+        gallery_count=jnp.zeros((s,), jnp.int32),
         next_id=jnp.int32(0),
         frame_idx=jnp.int32(0),
     )

@@ -59,6 +59,10 @@ class TrackerState:
       classes           (S,) i32  class of the track (from birth detection)
       score             (S,) f32  EMA of matched detection scores
       embed             (S, E) f32 EMA appearance embedding (L2-normalized)
+      gallery           (S, K, E) f32 ring buffer of recent raw appearance
+                        embeddings (K = gallery_size; stage-2 re-ID recovery
+                        scores against all of them, not just the EMA)
+      gallery_count     (S,) i32  embeddings ever written to the ring
     Scalars:
       next_id   () i32  next global track id to assign
       frame_idx () i32  frames processed
@@ -74,6 +78,8 @@ class TrackerState:
     classes: jnp.ndarray
     score: jnp.ndarray
     embed: jnp.ndarray
+    gallery: jnp.ndarray
+    gallery_count: jnp.ndarray
     next_id: jnp.ndarray
     frame_idx: jnp.ndarray
 
