@@ -65,3 +65,27 @@ def test_submit_pb(detections_file, tmp_path):
     orig = subm.read_jsonl(dets_path)
     assert len(back) == len(orig)
     assert back[0].context_name == "ctx0"
+
+
+def test_detect_cli_on_directory_segments(tmp_path, capsys):
+    """detect subcommand: directory segment -> detections JSONL."""
+    from waymo_2d_tracking_tpu.data import waymo
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (4, 64, 96, 3), dtype=np.uint8)
+    waymo.materialize_directory_segment(
+        str(tmp_path / "segs"), "segD", frames, [100 * t for t in range(4)]
+    )
+    out = str(tmp_path / "dets.jsonl")
+    cli.main([
+        "detect", "--segments-dir", str(tmp_path / "segs"), "--out", out,
+        "--set", "detector.backbone=resnet18slim", "detector.image_size=[64,96]",
+        "detector.fpn_channels=32", "detector.head_depth=1",
+        "detector.pre_nms_topk=32", "detector.max_detections=8",
+        "detector.embed_dim=0", "detector.dtype=float32",
+        "detector.score_threshold=0.01", "pipeline.chunk_frames=2",
+    ])
+    recs = subm.read_jsonl(out)
+    assert recs, "no detections written"
+    assert {r.timestamp_micros for r in recs} <= {0, 100, 200, 300}
+    assert all(r.object_id.startswith("det_") for r in recs)

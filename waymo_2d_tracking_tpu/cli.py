@@ -51,13 +51,15 @@ def cmd_track(args):
 
     from waymo_2d_tracking_tpu.pipeline.run import SegmentPipeline, run_segments
     from waymo_2d_tracking_tpu.data.waymo import iter_segments
+    from waymo_2d_tracking_tpu.utils.profiling import trace
 
     pipeline = SegmentPipeline(cfg, rng=jax.random.PRNGKey(args.seed))
     if args.params:
         pipeline.params = _load_params(args.params)
     segments = iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras)
-    stats = run_segments(pipeline, segments, args.out_dir,
-                         fail_after=args.fail_after_n_segments)
+    with trace(args.profile):
+        stats = run_segments(pipeline, segments, args.out_dir,
+                             fail_after=args.fail_after_n_segments)
     for s in stats:
         print(json.dumps(s))
 
@@ -245,6 +247,8 @@ def build_parser():
         sp.add_argument("--set", nargs="*", help="dotted overrides key=value")
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--params", default=None, help="orbax checkpoint path")
+        sp.add_argument("--profile", default=None,
+                        help="jax.profiler trace output dir (TensorBoard)")
 
     sp = sub.add_parser("track", help="detect+track segments -> track files")
     common(sp)
