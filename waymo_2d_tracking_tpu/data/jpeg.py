@@ -1,0 +1,117 @@
+"""Native multithreaded JPEG batch decode (C2 host side).
+
+ctypes binding to native/jpeg_decode.cpp — a persistent libjpeg thread pool
+that decodes a whole frame chunk GIL-free into one contiguous uint8 buffer
+(ready for a single device_put). Falls back to per-frame cv2 decode when the
+shim isn't built; ``build_native()`` compiles it with make/g++ on demand.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libw2t_jpeg.so"))
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def build_native(force: bool = False) -> Optional[str]:
+    """Compile the shim if needed. Returns the .so path or None on failure."""
+    if os.path.exists(_SO_PATH) and not force:
+        return _SO_PATH
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR), "libw2t_jpeg.so"],
+            check=True, capture_output=True,
+        )
+        return _SO_PATH if os.path.exists(_SO_PATH) else None
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        path = build_native()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        lib.w2t_decoder_create.restype = ctypes.c_void_p
+        lib.w2t_decoder_create.argtypes = [ctypes.c_int]
+        lib.w2t_decoder_destroy.argtypes = [ctypes.c_void_p]
+        lib.w2t_decode_batch.restype = ctypes.c_int
+        lib.w2t_decode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+class BatchJpegDecoder:
+    """Decode a list of JPEG byte strings -> (N, H, W, 3) uint8 in one call.
+
+    native=True uses the C++ thread pool; native=False (or shim unavailable)
+    uses cv2 per frame. Both paths produce RGB.
+    """
+
+    def __init__(self, height: int, width: int, n_threads: int = 0,
+                 native: bool = True):
+        self.height = height
+        self.width = width
+        self._handle = None
+        self._lib = _load() if native else None
+        if self._lib is not None:
+            self._handle = self._lib.w2t_decoder_create(n_threads)
+
+    @property
+    def is_native(self) -> bool:
+        return self._handle is not None
+
+    def decode(self, jpegs: Sequence[bytes]) -> np.ndarray:
+        n = len(jpegs)
+        out = np.zeros((n, self.height, self.width, 3), np.uint8)
+        if n == 0:
+            return out
+        if self._handle is not None:
+            srcs = (ctypes.c_char_p * n)(*jpegs)
+            lens = (ctypes.c_size_t * n)(*[len(b) for b in jpegs])
+            stride = self.height * self.width * 3
+            self._lib.w2t_decode_batch(
+                self._handle, n,
+                ctypes.cast(srcs, ctypes.POINTER(ctypes.c_char_p)),
+                lens,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                stride, self.height, self.width,
+            )
+            return out
+        # cv2 fallback
+        from waymo_2d_tracking_tpu.data.preprocess import decode_jpeg_host
+
+        for i, b in enumerate(jpegs):
+            img = decode_jpeg_host(b)
+            if img.shape[:2] == (self.height, self.width):
+                out[i] = img
+        return out
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.w2t_decoder_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # best-effort
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -57,23 +57,34 @@ class SegmentFrames:
         return len(self.timestamps)
 
     def chunk_iter(self, chunk: int) -> Iterator[np.ndarray]:
-        """Yield (chunk, H, W, 3) uint8 arrays, last chunk zero-padded."""
-        t = self.num_frames
-        for start in range(0, t, chunk):
-            if self.frames is not None:
-                block = self.frames[start : start + chunk]
-            else:
-                from waymo_2d_tracking_tpu.data.preprocess import decode_jpeg_host
+        """Yield (chunk, H, W, 3) uint8 arrays, last chunk zero-padded.
 
-                block = np.stack(
-                    [decode_jpeg_host(b) for b in self.jpeg_frames[start : start + chunk]]
-                )
-            if block.shape[0] < chunk:
-                pad = chunk - block.shape[0]
-                block = np.concatenate(
-                    [block, np.zeros((pad,) + block.shape[1:], block.dtype)]
-                )
-            yield block
+        JPEG sources decode through the native thread-pool shim
+        (data/jpeg.py; cv2 fallback) — one batched GIL-free call per chunk.
+        """
+        t = self.num_frames
+        decoder = None
+        if self.frames is None and self.jpeg_frames:
+            from waymo_2d_tracking_tpu.data.jpeg import BatchJpegDecoder
+            from waymo_2d_tracking_tpu.data.preprocess import decode_jpeg_host
+
+            first = decode_jpeg_host(self.jpeg_frames[0])
+            decoder = BatchJpegDecoder(first.shape[0], first.shape[1])
+        try:
+            for start in range(0, t, chunk):
+                if self.frames is not None:
+                    block = self.frames[start : start + chunk]
+                else:
+                    block = decoder.decode(self.jpeg_frames[start : start + chunk])
+                if block.shape[0] < chunk:
+                    pad = chunk - block.shape[0]
+                    block = np.concatenate(
+                        [block, np.zeros((pad,) + block.shape[1:], block.dtype)]
+                    )
+                yield block
+        finally:
+            if decoder is not None:
+                decoder.close()
 
 
 class SegmentPipeline:
