@@ -104,3 +104,27 @@ def test_multilevel_routing():
     want1 = np.asarray(roi_align(levels[4], jnp.asarray(boxes[1:]), 1 / 16, 7))
     np.testing.assert_allclose(out[0], want0[0], atol=1e-5)
     np.testing.assert_allclose(out[1], want1[0], atol=1e-5)
+
+
+def test_pallas_matches_xla():
+    """Pallas kernel (interpret on CPU) vs the XLA separable-matmul path."""
+    from waymo_2d_tracking_tpu.ops.roi_align import pallas_roi_align
+
+    rng = np.random.default_rng(3)
+    feats = rng.normal(0, 1, (16, 24, 8)).astype(np.float32)
+    boxes = np.array(
+        [
+            [4.0, 4.0, 60.0, 44.0],
+            [0.0, 0.0, 96.0, 64.0],
+            [-8.0, -8.0, 30.0, 30.0],
+            [50.0, 30.0, 70.0, 44.0],
+        ],
+        np.float32,
+    )
+    want = np.asarray(roi_align(jnp.asarray(feats), jnp.asarray(boxes),
+                                spatial_scale=0.25, output_size=7,
+                                sampling_ratio=2))
+    got = np.asarray(pallas_roi_align(jnp.asarray(feats), jnp.asarray(boxes),
+                                      spatial_scale=0.25, output_size=7,
+                                      sampling_ratio=2, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
