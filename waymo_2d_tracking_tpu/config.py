@@ -52,7 +52,9 @@ class TrackerConfig:
     # Auction assignment (component C14); eps starts at the dynamic benefit
     # range and scales down geometrically to eps_min.
     auction_eps_scale: float = 0.2    # eps <- eps * scale per scaling phase
-    auction_eps_min: float = 1e-3
+    # 1e-2 is optimality slack ~1px of IoU cost per pair — measured identical
+    # MOTA/IDSW to 1e-3 on the golden clip, with fewer eps phases per frame
+    auction_eps_min: float = 1e-2
     auction_max_iters: int = 4096     # per-phase bidding iteration cap
 
 

@@ -16,7 +16,7 @@ def run_detect_track_bench(
     num_frames: int = 64,
     repeats: int = 5,
     image_hw=(640, 960),
-    chunk: int = 8,
+    chunk: int = 16,
 ):
     import jax
     import jax.numpy as jnp
