@@ -184,3 +184,20 @@ def test_backbone_parity_vs_torch_twin():
             rtol=1e-3,
             err_msg=f"level C{lvl}",
         )
+
+
+def test_backbone_family_shapes():
+    """Every backbone variant produces a C2..C5 pyramid with right strides."""
+    from waymo_2d_tracking_tpu.models import resnet as rn
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    for name, factory, c5 in [
+        ("resnet18", rn.ResNet18, 512),
+        ("resnet34", rn.ResNet34, 512),
+        ("resnet50", rn.ResNet50, 2048),
+    ]:
+        m = factory(dtype=jnp.float32)
+        v = m.init(jax.random.PRNGKey(1), x)
+        feats = m.apply(v, x)
+        assert feats[2].shape == (1, 16, 24, c5 // 8), name
+        assert feats[5].shape == (1, 2, 3, c5), name

@@ -38,12 +38,18 @@ class Detector(nn.Module):
 
     def setup(self):
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
-        if self.cfg.backbone == "resnet50":
-            self.backbone = ResNet50(dtype=dtype)
-        elif self.cfg.backbone == "resnet18slim":  # test-size twin
-            self.backbone = ResNet(stage_sizes=(1, 1, 1, 1), width=16, dtype=dtype)
-        else:
+        from waymo_2d_tracking_tpu.models import resnet as resnet_mod
+
+        factories = {
+            "resnet18": resnet_mod.ResNet18,
+            "resnet34": resnet_mod.ResNet34,
+            "resnet50": resnet_mod.ResNet50,
+            "resnet101": resnet_mod.ResNet101,
+            "resnet18slim": resnet_mod.ResNet18Slim,  # test-size twin
+        }
+        if self.cfg.backbone not in factories:
             raise ValueError(f"unknown backbone {self.cfg.backbone}")
+        self.backbone = factories[self.cfg.backbone](dtype=dtype)
         self.fpn = FPN(channels=self.cfg.fpn_channels,
                        levels=tuple(self.cfg.fpn_levels), dtype=dtype)
         self.heads = FCOSHeads(

@@ -59,11 +59,46 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class BasicBlock(nn.Module):
+    """3x3 -> 3x3 basic residual block (ResNet-18/34 family)."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name=name,
+        )
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = norm("bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = norm("bn2")(y)
+        if residual.shape[-1] != self.features or self.stride != 1:
+            residual = nn.Conv(
+                self.features, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            residual = norm("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
 class ResNet(nn.Module):
-    """ResNet-v1 with bottleneck blocks. stage_sizes (3,4,6,3) = ResNet-50."""
+    """ResNet-v1. block='bottleneck' (50/101/152) or 'basic' (18/34)."""
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
+    block: str = "bottleneck"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -77,12 +112,13 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
         feats: Dict[int, jnp.ndarray] = {}
         for stage, num_blocks in enumerate(self.stage_sizes):
             width = self.width * (2 ** stage)
             for block in range(num_blocks):
                 stride = 2 if (block == 0 and stage > 0) else 1
-                x = Bottleneck(
+                x = block_cls(
                     features=width, stride=stride, dtype=self.dtype,
                     name=f"stage{stage + 1}_block{block}",
                 )(x, train=train)
@@ -90,8 +126,20 @@ class ResNet(nn.Module):
         return feats
 
 
+def ResNet18(dtype: Any = jnp.bfloat16) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), width=64, block="basic", dtype=dtype)
+
+
+def ResNet34(dtype: Any = jnp.bfloat16) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), width=64, block="basic", dtype=dtype)
+
+
 def ResNet50(dtype: Any = jnp.bfloat16) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), width=64, dtype=dtype)
+
+
+def ResNet101(dtype: Any = jnp.bfloat16) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3), width=64, dtype=dtype)
 
 
 def ResNet18Slim(dtype: Any = jnp.bfloat16) -> ResNet:
