@@ -89,3 +89,18 @@ def test_detect_cli_on_directory_segments(tmp_path, capsys):
     assert recs, "no detections written"
     assert {r.timestamp_micros for r in recs} <= {0, 100, 200, 300}
     assert all(r.object_id.startswith("det_") for r in recs)
+
+
+def test_train_cli_synthetic_smoke(tmp_path, capsys):
+    cli.main([
+        "train", "--steps", "2",
+        "--set", "detector.backbone=resnet18slim", "detector.image_size=[64,96]",
+        "detector.fpn_channels=32", "detector.head_depth=1",
+        "detector.embed_dim=0", "detector.dtype=float32",
+        "train.batch_size=2", "train.warmup_steps=1", "train.total_steps=2",
+        f"train.checkpoint_dir={tmp_path}/ckpt", "train.checkpoint_every=100",
+    ])
+    out = capsys.readouterr().out
+    assert "step 2" in out and "loss=" in out
+    import os
+    assert os.path.isdir(f"{tmp_path}/ckpt/step_2")

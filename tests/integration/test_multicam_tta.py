@@ -99,3 +99,34 @@ def test_tta_detects_superset_quality():
     assert v.any()
     s = np.asarray(scores)[v]
     assert np.all(np.diff(s) <= 0)
+
+
+def test_tta_multiscale_path():
+    """Multi-scale TTA: candidates from a 0.5x view map back to original
+    coordinates; output boxes stay comparable to the 1x-only run."""
+    from waymo_2d_tracking_tpu.models.detector import Detector
+    from waymo_2d_tracking_tpu.pipeline.tta import detect_tta_single
+
+    cfg = SLIM.detector
+    module = Detector(cfg)
+    image = jax.random.uniform(jax.random.PRNGKey(5), (64, 96, 3))
+    params = module.init(jax.random.PRNGKey(0), image[None], method=Detector.init_all)
+
+    b1, s1, c1, v1 = detect_tta_single(module, params, image, cfg,
+                                       scales=(1.0,), flip=False, interpret=True)
+    bm, sm, cm, vm = detect_tta_single(module, params, image, cfg,
+                                       scales=(0.5, 1.0), flip=True, interpret=True)
+    assert np.asarray(vm).any()
+    boxes = np.asarray(bm)[np.asarray(vm)]
+    # mapped back to original coordinates: inside (generous) image bounds
+    assert boxes[:, [0, 2]].max() < 96 * 1.5 and boxes[:, [1, 3]].max() < 64 * 1.5
+    assert boxes[:, [0, 2]].min() > -96 * 0.5
+
+
+def test_scale_image_shapes():
+    from waymo_2d_tracking_tpu.pipeline.tta import scale_image
+
+    x = jnp.ones((2, 64, 96, 3))
+    y = scale_image(x, 0.5)
+    assert y.shape == (2, 32, 48, 3)
+    np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-5)

@@ -201,3 +201,13 @@ def test_backbone_family_shapes():
         feats = m.apply(v, x)
         assert feats[2].shape == (1, 16, 24, c5 // 8), name
         assert feats[5].shape == (1, 2, 3, c5), name
+
+
+def test_decode_level_geometry():
+    from waymo_2d_tracking_tpu.models.heads import decode_level
+
+    # one location (0,0) at stride 8: center (4, 4); ltrb (1,2,3,4) in
+    # stride units -> pixels (8,16,24,32) -> box (-4, -12, 28, 36)
+    ltrb = jnp.asarray([[[[1.0, 2.0, 3.0, 4.0]]]])
+    box = np.asarray(decode_level(ltrb, stride=8))[0, 0, 0]
+    np.testing.assert_allclose(box, [4 - 8, 4 - 16, 4 + 24, 4 + 32])
