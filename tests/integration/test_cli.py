@@ -104,3 +104,43 @@ def test_train_cli_synthetic_smoke(tmp_path, capsys):
     assert "step 2" in out and "loss=" in out
     import os
     assert os.path.isdir(f"{tmp_path}/ckpt/step_2")
+
+
+def test_track_multicam_cli(tmp_path):
+    """--multicam: cameras of one context batched through a shared backbone."""
+    import json as _json
+    import os
+
+    from waymo_2d_tracking_tpu.data import waymo
+
+    rng = np.random.default_rng(0)
+    seg_dir = tmp_path / "segs" / "segM"
+    os.makedirs(seg_dir / "frames", exist_ok=True)
+    import cv2
+
+    for t in range(4):
+        for cam in (1, 2):
+            img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+            cv2.imwrite(str(seg_dir / "frames" / f"{t}_{cam}.jpg"), img[:, :, ::-1])
+    with open(seg_dir / "meta.json", "w") as f:
+        _json.dump({"context_name": "segM",
+                    "cameras": {"FRONT": 1, "FRONT_LEFT": 2},
+                    "timestamps": [100 * t for t in range(4)]}, f)
+
+    out_dir = str(tmp_path / "out")
+    cli.main([
+        "track", "--multicam", "--segments-dir", str(tmp_path / "segs"),
+        "--out-dir", out_dir,
+        "--set", "detector.backbone=resnet18slim", "detector.image_size=[64,96]",
+        "detector.fpn_channels=32", "detector.head_depth=1",
+        "detector.pre_nms_topk=32", "detector.max_detections=8",
+        "detector.embed_dim=0", "detector.dtype=float32",
+        "detector.score_threshold=0.01",
+        "tracker.max_tracks=16", "tracker.max_detections=8",
+        "tracker.embed_dim=0", "tracker.score_threshold=0.0",
+        "tracker.birth_score_threshold=0.0", "tracker.n_init=1",
+        "pipeline.chunk_frames=2",
+        'pipeline.cameras=["FRONT","FRONT_LEFT"]',
+    ])
+    assert os.path.exists(os.path.join(out_dir, "segM_1.jsonl"))
+    assert os.path.exists(os.path.join(out_dir, "segM_2.jsonl"))

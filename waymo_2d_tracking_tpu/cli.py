@@ -53,6 +53,23 @@ def cmd_track(args):
     from waymo_2d_tracking_tpu.data.waymo import iter_segments
     from waymo_2d_tracking_tpu.utils.profiling import trace
 
+    if args.multicam:
+        from waymo_2d_tracking_tpu.pipeline.multicam import MultiCamPipeline
+
+        num_cams = len(cfg.pipeline.cameras)
+        pipeline = MultiCamPipeline(cfg, num_cams=num_cams,
+                                    rng=jax.random.PRNGKey(args.seed))
+        if args.params:
+            pipeline.params = _load_params(args.params)
+        groups = {}
+        for seg in iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras):
+            groups.setdefault(seg.context_name, []).append(seg)
+        with trace(args.profile):
+            for ctx in sorted(groups):
+                for s in pipeline.run_segments_group(groups[ctx], args.out_dir):
+                    print(json.dumps(s))
+        return
+
     pipeline = SegmentPipeline(cfg, rng=jax.random.PRNGKey(args.seed))
     if args.params:
         pipeline.params = _load_params(args.params)
@@ -255,6 +272,8 @@ def build_parser():
     sp.add_argument("--segments-dir")
     sp.add_argument("--out-dir", default="out")
     sp.add_argument("--from-detections", help="JSONL detections (config-1 path)")
+    sp.add_argument("--multicam", action="store_true",
+                    help="shared-backbone multi-camera batching (config 4)")
     sp.add_argument("--out", default="tracks.jsonl")
     sp.add_argument("--fail-after-n-segments", type=int, default=None)
     sp.set_defaults(fn=cmd_track)

@@ -69,6 +69,43 @@ class MultiCamPipeline:
         new_states, outputs = jax.lax.scan(step, states, dets)
         return new_states, outputs, scale
 
+    def run_segments_group(self, segments, out_dir: str):
+        """CLI entry: a list of per-camera SegmentFrames of the SAME context
+        (equal timestamps) -> per-camera submission JSONL files + stats.
+
+        Cameras are stacked on axis 1 so every chunk is one shared-backbone
+        batch (BASELINE config 4)."""
+        import os
+
+        from waymo_2d_tracking_tpu.io_out import submission as subm
+
+        segments = sorted(segments, key=lambda s: s.camera_name)
+        assert len({tuple(s.timestamps) for s in segments}) == 1, (
+            "multicam group needs aligned timestamps"
+        )
+        assert len(segments) == self.num_cams
+        ctx = segments[0].context_name
+        per_cam = []
+        for seg in segments:
+            chunks = list(seg.chunk_iter(seg.num_frames))  # one block, full T
+            per_cam.append(chunks[0][: seg.num_frames])
+        frames = np.stack(per_cam, axis=1)                  # (T, cams, H, W, 3)
+        states, outputs, scale = self.run(frames)
+
+        os.makedirs(out_dir, exist_ok=True)
+        stats = []
+        for ci, seg in enumerate(segments):
+            cam_out = jax.tree.map(lambda x: x[:, ci], outputs)
+            records = subm.records_from_track_outputs(
+                cam_out, ctx, seg.timestamps, seg.camera_name,
+                scale=float(scale),
+            )
+            path = os.path.join(out_dir, f"{ctx}_{seg.camera_name}.jsonl")
+            subm.write_jsonl(path, records)
+            stats.append({"context": ctx, "camera": seg.camera_name,
+                          "frames": seg.num_frames, "records": len(records)})
+        return stats
+
     def run(
         self,
         frames: np.ndarray,            # (T, cams, H, W, 3) uint8 host array
