@@ -11,7 +11,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import numpy as np  # noqa: E402
 
-from tests.golden.test_golden_clip import GOLDEN_PATH, run_config1  # noqa: E402
+from tests.golden.test_golden_clip import (  # noqa: E402
+    GOLDEN3_PATH,
+    GOLDEN_PATH,
+    run_config1,
+    run_config3,
+)
 
 outs, _ = run_config1()
 valid = np.asarray(outs.valid)
@@ -22,3 +27,12 @@ np.savez_compressed(
     boxes=np.where(valid[..., None], np.asarray(outs.boxes), 0.0),
 )
 print(f"wrote {GOLDEN_PATH}: {valid.sum()} emissions over {valid.shape[0]} frames")
+
+outs3, _ = run_config3()
+valid3 = np.asarray(outs3.valid)
+np.savez_compressed(
+    GOLDEN3_PATH,
+    valid=valid3,
+    track_id=np.where(valid3, np.asarray(outs3.track_id), -1),
+)
+print(f"wrote {GOLDEN3_PATH}: {valid3.sum()} emissions")

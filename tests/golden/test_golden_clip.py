@@ -60,3 +60,43 @@ def test_config1_matches_golden():
     np.testing.assert_array_equal(ids, golden["track_id"])
     boxes = np.where(valid[..., None], np.asarray(outs.boxes), 0.0)
     np.testing.assert_allclose(boxes, golden["boxes"], atol=0.2)
+
+
+# ----------------------------------------------------- config-3 (ReID) freeze
+
+GOLDEN3_PATH = os.path.join(os.path.dirname(__file__), "golden_config3.npz")
+
+CFG3 = TrackerConfig(
+    max_tracks=64, max_detections=64, embed_dim=128,
+    appearance_weight=0.3, appearance_gate=0.5,
+    n_init=3, max_age=3, iou_threshold=0.3,
+    reid_recovery=True, max_lost_age=30, gallery_size=4,
+)
+
+
+def run_config3():
+    dets, gt = generate_clip(CLIP)
+    tracker = Tracker(CFG3)
+    state, outs = tracker.run(dets)
+    return outs, gt
+
+
+def test_config3_quality_floor():
+    outs, gt = run_config3()
+    m = evaluate_mot(gt_to_frames(gt), track_outputs_to_frames(outs, CLIP.num_frames))
+    # appearance + recovery must not be worse than the IoU-only floor
+    assert m.mota > 0.80, m.as_dict()
+    assert m.num_idsw <= 6, m.as_dict()
+
+
+def test_config3_matches_golden():
+    if not os.path.exists(GOLDEN3_PATH):
+        import pytest
+
+        pytest.skip("golden file missing; run tests/golden/regen_golden.py")
+    outs, _ = run_config3()
+    golden = np.load(GOLDEN3_PATH)
+    valid = np.asarray(outs.valid)
+    np.testing.assert_array_equal(valid, golden["valid"])
+    ids = np.where(valid, np.asarray(outs.track_id), -1)
+    np.testing.assert_array_equal(ids, golden["track_id"])
