@@ -211,3 +211,41 @@ def test_decode_level_geometry():
     ltrb = jnp.asarray([[[[1.0, 2.0, 3.0, 4.0]]]])
     box = np.asarray(decode_level(ltrb, stride=8))[0, 0, 0]
     np.testing.assert_allclose(box, [4 - 8, 4 - 16, 4 + 24, 4 + 32])
+
+
+def test_s2d_stem_weight_equivalence():
+    """space-to-depth 4x4/s1 stem with converted weights must reproduce the
+    7x7/s2 stem exactly (same arithmetic, reordered)."""
+    from flax import linen as nn
+    from waymo_2d_tracking_tpu.models.resnet import (
+        convert_stem_to_s2d,
+        space_to_depth_2x2,
+    )
+
+    rng = np.random.default_rng(0)
+    k7 = jnp.asarray(rng.normal(0, 0.1, (7, 7, 3, 8)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 48, 3)).astype(np.float32))
+
+    conv7 = nn.Conv(8, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=jnp.float32)
+    y7 = conv7.apply({"params": {"kernel": k7}}, x)
+
+    k4 = convert_stem_to_s2d(k7)
+    conv4 = nn.Conv(8, (4, 4), strides=(1, 1), padding=[(2, 1), (2, 1)],
+                    use_bias=False, dtype=jnp.float32)
+    y4 = conv4.apply({"params": {"kernel": k4}}, space_to_depth_2x2(x))
+
+    assert y4.shape == y7.shape
+    with jax.default_matmul_precision("float32"):
+        np.testing.assert_allclose(np.asarray(y4), np.asarray(y7),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_s2d_resnet_runs():
+    from waymo_2d_tracking_tpu.models.resnet import ResNet
+
+    m = ResNet(stage_sizes=(1, 1, 1, 1), width=16, stem="s2d", dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 96, 3))
+    v = m.init(jax.random.PRNGKey(1), x)
+    feats = m.apply(v, x)
+    assert feats[2].shape == (1, 16, 24, 64)

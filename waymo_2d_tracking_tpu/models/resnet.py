@@ -93,20 +93,60 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+def space_to_depth_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/2, W/2, 4C), channel order (2a+b)*C + c for
+    pixel offsets (a, b) in the 2x2 patch — matches convert_stem_to_s2d."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def convert_stem_to_s2d(kernel7: jnp.ndarray) -> jnp.ndarray:
+    """Exactly re-express a 7x7 stride-2 stem kernel (7, 7, C, O) as the
+    equivalent 4x4 stride-1 kernel (4, 4, 4C, O) over 2x2 space-to-depth
+    input (the MLPerf-TPU stem trick: raise C_in 3 -> 12 for better MXU lane
+    utilization). Derivation: row 2y+dy-3 = 2(y + uoff) + a with
+    a = (dy-3) mod 2, uoff = (dy-3-a)/2 in {-2..1} -> kernel tap uoff+2."""
+    k7 = jnp.asarray(kernel7)
+    _, _, c, o = k7.shape
+    k4 = jnp.zeros((4, 4, 4 * c, o), k7.dtype)
+    for dy in range(7):
+        a = (dy - 3) % 2
+        ky = (dy - 3 - a) // 2 + 2
+        for dx in range(7):
+            b = (dx - 3) % 2
+            kx = (dx - 3 - b) // 2 + 2
+            ch = (2 * a + b) * c
+            k4 = k4.at[ky, kx, ch : ch + c, :].add(k7[dy, dx])
+    return k4
+
+
 class ResNet(nn.Module):
-    """ResNet-v1. block='bottleneck' (50/101/152) or 'basic' (18/34)."""
+    """ResNet-v1. block='bottleneck' (50/101/152) or 'basic' (18/34).
+
+    stem='conv7' is the standard 7x7/s2; stem='s2d' runs the weight-
+    equivalent space-to-depth 4x4/s1 form (use convert_stem_to_s2d to port
+    trained conv7 weights)."""
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
     block: str = "bottleneck"
+    stem: str = "conv7"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[int, jnp.ndarray]:
         x = x.astype(self.dtype)
-        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
-                    padding=[(3, 3), (3, 3)], use_bias=False, dtype=self.dtype,
-                    name="stem_conv")(x)
+        if self.stem == "s2d":
+            x = space_to_depth_2x2(x)
+            x = nn.Conv(self.width, (4, 4), strides=(1, 1),
+                        padding=[(2, 1), (2, 1)], use_bias=False,
+                        dtype=self.dtype, name="stem_conv")(x)
+        else:
+            x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                        padding=[(3, 3), (3, 3)], use_bias=False,
+                        dtype=self.dtype, name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
