@@ -290,9 +290,20 @@ def auction_assign(
         # XLA while_loop dispatch overhead (~5-10x at tracker sizes)
         n = _round_up_128(max(r, c))
         benefit, eps0 = _build_benefit(cost, valid, n, eps_min)
-        row_to_col = _pallas_auction(
-            benefit, eps0, eps_scale=eps_scale, eps_min=eps_min,
-            max_iters=max_iters,
+
+        def _solve(args):
+            b, e = args
+            return _pallas_auction(
+                b, e, eps_scale=eps_scale, eps_min=eps_min, max_iters=max_iters
+            )
+
+        def _empty(args):
+            # no feasible pair anywhere (empty/occluded frame): skip the
+            # kernel — everything is unmatched by construction
+            return jnp.full((n,), -1, dtype=jnp.int32)
+
+        row_to_col = jax.lax.cond(
+            jnp.any(valid), _solve, _empty, (benefit, eps0)
         )
     else:
         n = max(r, c)
