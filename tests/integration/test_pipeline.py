@@ -88,3 +88,23 @@ def test_manifest_resume_and_fault_injection(pipeline, tmp_path):
     assert {m["key"] for m in manifest} == {f"seg{i}/1" for i in range(3)}
     # idempotent rerun: nothing to do
     assert run_segments(pipeline, segs, out) == []
+
+
+def test_run_segment_with_tta(tmp_path):
+    """Config-5 shape: pipeline TTA settings actually drive the detection
+    path (multi-scale + flip candidate union) end-to-end."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG,
+        detector=dataclasses.replace(CFG.detector, embed_dim=16),
+        tracker=dataclasses.replace(CFG.tracker, embed_dim=16,
+                                    appearance_weight=0.2,
+                                    reid_recovery=True),
+        pipeline=dataclasses.replace(CFG.pipeline, tta_flip=True,
+                                     tta_scales=(0.5, 1.0)),
+    )
+    pipe = SegmentPipeline(cfg, rng=jax.random.PRNGKey(0))
+    assert pipe._tta_active
+    records, stats = pipe.run_segment(make_segment(t=6))
+    assert stats["frames"] == 6

@@ -112,12 +112,27 @@ class SegmentPipeline:
         )
         return self.detector._detect_impl(params, images), scale
 
+    @property
+    def _tta_active(self) -> bool:
+        p = self.cfg.pipeline
+        return bool(p.tta_flip) or tuple(p.tta_scales) != (1.0,)
+
     def _chunk_step_impl(self, params, tracker_state, frames_u8, src_hw):
         """frames_u8 (chunk, Hs, Ws, 3) uint8 -> (new_state, outputs, scale)."""
         images, scale = letterbox_batch(
             frames_u8, src_hw, self.cfg.detector.image_size
         )
-        dets: Detections = self.detector._detect_impl(params, images)
+        if self._tta_active:
+            # config 5: multi-scale/flip candidate union, one merged NMS
+            from waymo_2d_tracking_tpu.pipeline.tta import detect_tta_batch
+
+            dets: Detections = detect_tta_batch(
+                self.detector.module, params, images, self.cfg.detector,
+                scales=tuple(self.cfg.pipeline.tta_scales),
+                flip=self.cfg.pipeline.tta_flip,
+            )
+        else:
+            dets = self.detector._detect_impl(params, images)
 
         def step(carry, det):
             return track_step(carry, det, self.cfg.tracker)

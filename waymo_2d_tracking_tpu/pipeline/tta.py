@@ -48,6 +48,53 @@ def scale_image(images: jnp.ndarray, scale: float) -> jnp.ndarray:
     return jnp.einsum("fw,newc->nefc", rx, x)
 
 
+def detect_tta_batch(
+    module: Detector,
+    params,
+    images: jnp.ndarray,           # (N, H, W, 3)
+    cfg: DetectorConfig,
+    scales: Sequence[float] = (1.0,),
+    flip: bool = True,
+    interpret: bool | None = None,
+):
+    """TTA detection for a batch -> tracker-ready Detections (N, D, ...).
+
+    ReID embeddings (when enabled) pool from the unflipped 1.0-scale pyramid
+    using the final merged boxes — augmentation affects candidate generation,
+    not the appearance features.
+    """
+    from waymo_2d_tracking_tpu.ops.roi_align import roi_align
+    from waymo_2d_tracking_tpu.types import Detections
+
+    n = images.shape[0]
+    # base forward (also provides the ReID feature pyramid)
+    _, p_feats = module.apply(params, images)
+    lvl0 = min(cfg.fpn_levels)
+
+    per_image = []
+    for i in range(n):
+        boxes, scores, classes, valid = detect_tta_single(
+            module, params, images[i], cfg, scales=scales, flip=flip,
+            interpret=interpret,
+        )
+        if cfg.embed_dim > 0:
+            pooled = roi_align(
+                p_feats[lvl0][i], boxes, spatial_scale=1.0 / (2 ** lvl0),
+                output_size=7,
+            )
+            embeds = module.apply(params, pooled, method=Detector.embed)
+            embeds = embeds * valid[:, None]
+        else:
+            embeds = jnp.zeros((boxes.shape[0], 1), jnp.float32)
+        per_image.append(Detections(
+            boxes=boxes, scores=scores, classes=classes,
+            embeds=embeds, valid=valid,
+        ))
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_image)
+
+
 def detect_tta_single(
     module: Detector,
     params,
