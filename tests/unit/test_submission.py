@@ -89,3 +89,12 @@ def test_records_from_track_outputs():
     assert recs[0].center_x == 2.5 and recs[0].length == 5.0
     assert recs[2].object_type == subm.TYPE_CYCLIST
     assert recs[2].timestamp_micros == 200
+
+
+def test_top_level_api_exports():
+    import waymo_2d_tracking_tpu as w2t
+
+    for name in ("Config", "Tracker", "DetectorRunner", "SegmentPipeline",
+                 "MultiCamPipeline", "DetectorTrainer", "Detections",
+                 "load_config"):
+        assert getattr(w2t, name) is not None, name

@@ -20,3 +20,25 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import waymo_2d_tracking_tpu` light)."""
+    if name in ("Config", "DetectorConfig", "TrackerConfig", "PipelineConfig",
+                "TrainConfig", "load_config"):
+        from waymo_2d_tracking_tpu import config as _m
+    elif name in ("Detections", "TrackerState", "TrackOutputs"):
+        from waymo_2d_tracking_tpu import types as _m
+    elif name == "Tracker":
+        from waymo_2d_tracking_tpu import tracker as _m
+    elif name == "DetectorRunner":
+        from waymo_2d_tracking_tpu.models import detector as _m
+    elif name in ("SegmentPipeline", "SegmentFrames", "run_segments"):
+        from waymo_2d_tracking_tpu.pipeline import run as _m
+    elif name == "MultiCamPipeline":
+        from waymo_2d_tracking_tpu.pipeline import multicam as _m
+    elif name == "DetectorTrainer":
+        from waymo_2d_tracking_tpu.train import train as _m
+    else:
+        raise AttributeError(name)
+    return getattr(_m, name)
