@@ -39,6 +39,12 @@ def __getattr__(name):
         from waymo_2d_tracking_tpu.pipeline import multicam as _m
     elif name == "DetectorTrainer":
         from waymo_2d_tracking_tpu.train import train as _m
+    elif name in ("config", "types", "data", "models", "ops", "tracker",
+                  "parallel", "pipeline", "io_out", "eval", "train", "utils",
+                  "cli"):
+        import importlib
+
+        return importlib.import_module(f"waymo_2d_tracking_tpu.{name}")
     else:
         raise AttributeError(name)
     return getattr(_m, name)
