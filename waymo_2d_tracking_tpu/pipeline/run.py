@@ -100,7 +100,12 @@ class SegmentPipeline:
                 rng, batch_size=cfg.pipeline.chunk_frames
             )
         self.params = params
-        self._chunk_step = jax.jit(self._chunk_step_impl, static_argnames=("src_hw",))
+        # donate the carried tracker state: the old table's buffers (cov is
+        # S*64 floats) are reused in place instead of reallocated per chunk
+        self._chunk_step = jax.jit(
+            self._chunk_step_impl, static_argnames=("src_hw",),
+            donate_argnums=(1,),
+        )
         self._detect_chunk = jax.jit(
             self._detect_chunk_impl, static_argnames=("src_hw",)
         )
