@@ -82,3 +82,34 @@ def test_low_iou_not_matched():
     hyp = [(np.array([10]), np.array([b(100, 100)]))]
     m = evaluate_mot(gt, hyp)
     assert m.num_fn == 1 and m.num_fp == 1
+
+
+def test_idf1_perfect():
+    gt = [(np.array([1, 2]), np.array([b(0, 0), b(50, 50)]))] * 5
+    hyp = [(np.array([7, 8]), np.array([b(0, 0), b(50, 50)]))] * 5
+    m = evaluate_mot(gt, hyp)
+    assert m.idf1 == 1.0
+    assert m.mostly_tracked == 2 and m.mostly_lost == 0
+
+
+def test_idf1_penalizes_id_switch_globally():
+    """CLEAR carryover forgives a switch after one IDSW; IDF1 charges every
+    frame attributed to the non-dominant identity."""
+    gt = [(np.array([1]), np.array([b(0, 0)]))] * 10
+    hyp = (
+        [(np.array([10]), np.array([b(0, 0)]))] * 5
+        + [(np.array([20]), np.array([b(0, 0)]))] * 5
+    )
+    m = evaluate_mot(gt, hyp)
+    assert m.num_idsw == 1
+    # best global match covers 5 of 10 frames: IDTP=5, IDF1 = 2*5/(10+10)
+    assert abs(m.idf1 - 0.5) < 1e-9
+
+
+def test_mostly_lost():
+    gt = [(np.array([1]), np.array([b(0, 0)]))] * 10
+    hyp = [(np.array([9]), np.array([b(0, 0)]))] * 1 + [
+        (np.array([], int), np.zeros((0, 4)))
+    ] * 9
+    m = evaluate_mot(gt, hyp)
+    assert m.mostly_lost == 1 and m.mostly_tracked == 0

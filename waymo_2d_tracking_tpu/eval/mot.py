@@ -27,15 +27,51 @@ from scipy.optimize import linear_sum_assignment
 class MotMetrics:
     mota: float
     motp: float            # mean IoU over matches (higher = better)
+    idf1: float            # identity F1 (global trajectory matching)
     num_frames: int
     num_gt: int
     num_matches: int
     num_fp: int
     num_fn: int
     num_idsw: int
+    mostly_tracked: int    # GT trajectories matched >= 80% of their frames
+    mostly_lost: int       # GT trajectories matched <= 20% of their frames
 
     def as_dict(self) -> Dict[str, float]:
         return dataclasses.asdict(self)
+
+
+def _idf1(gt_frames, hyp_frames, iou_threshold: float) -> float:
+    """Identity F1 (Ristani et al. 2016): one GLOBAL bipartite matching of
+    GT trajectories to hypothesis trajectories maximizing co-occurring
+    (IoU-feasible) frames; IDTP is that total overlap."""
+    pair_counts: Dict[Tuple[int, int], int] = {}
+    total_gt = total_hyp = 0
+    for (gt_ids, gt_boxes), (hyp_ids, hyp_boxes) in zip(gt_frames, hyp_frames):
+        gt_ids = np.asarray(gt_ids)
+        hyp_ids = np.asarray(hyp_ids)
+        total_gt += len(gt_ids)
+        total_hyp += len(hyp_ids)
+        if len(gt_ids) == 0 or len(hyp_ids) == 0:
+            continue
+        iou = _frame_iou(np.asarray(gt_boxes, float), np.asarray(hyp_boxes, float))
+        feasible = iou >= iou_threshold
+        for gi, hj in zip(*np.nonzero(feasible)):
+            key = (int(gt_ids[gi]), int(hyp_ids[hj]))
+            pair_counts[key] = pair_counts.get(key, 0) + 1
+    if not pair_counts:
+        return 0.0
+    g_ids = sorted({g for g, _ in pair_counts})
+    h_ids = sorted({h for _, h in pair_counts})
+    g_idx = {g: i for i, g in enumerate(g_ids)}
+    h_idx = {h: i for i, h in enumerate(h_ids)}
+    counts = np.zeros((len(g_ids), len(h_ids)))
+    for (g, h), c in pair_counts.items():
+        counts[g_idx[g], h_idx[h]] = c
+    ri, ci = linear_sum_assignment(-counts)
+    idtp = counts[ri, ci].sum()
+    # IDF1 = 2*IDTP / (total_gt + total_hyp)
+    return float(2 * idtp / max(total_gt + total_hyp, 1))
 
 
 def _frame_iou(gt_boxes: np.ndarray, hyp_boxes: np.ndarray) -> np.ndarray:
@@ -66,6 +102,9 @@ def evaluate_mot(
     iou_sum = 0.0
     # last hypothesis id matched to each GT id (persists across gaps, per CLEAR)
     last_match: Dict[int, int] = {}
+    # per-GT-trajectory (frames present, frames matched) for MT/ML
+    traj_seen: Dict[int, int] = {}
+    traj_matched: Dict[int, int] = {}
 
     for (gt_ids, gt_boxes), (hyp_ids, hyp_boxes) in zip(gt_frames, hyp_frames):
         gt_ids = np.asarray(gt_ids)
@@ -104,6 +143,8 @@ def evaluate_mot(
                     matched_h[free_h[c]] = True
 
         # 3. count
+        for gid in gt_ids:
+            traj_seen[int(gid)] = traj_seen.get(int(gid), 0) + 1
         for gi, hj in pairs:
             gid, hid = int(gt_ids[gi]), int(hyp_ids[hj])
             if gid in last_match and last_match[gid] != hid:
@@ -111,14 +152,25 @@ def evaluate_mot(
             last_match[gid] = hid
             num_matches += 1
             iou_sum += iou[gi, hj]
+            traj_matched[gid] = traj_matched.get(gid, 0) + 1
         num_fn += int((~matched_g).sum())
         num_fp += int((~matched_h).sum())
 
     mota = 1.0 - (num_fn + num_fp + num_idsw) / max(num_gt, 1)
     motp = iou_sum / max(num_matches, 1)
+    mt = ml = 0
+    for gid, seen in traj_seen.items():
+        ratio = traj_matched.get(gid, 0) / seen
+        if ratio >= 0.8:
+            mt += 1
+        elif ratio <= 0.2:
+            ml += 1
     return MotMetrics(
-        mota=mota, motp=motp, num_frames=len(gt_frames), num_gt=num_gt,
+        mota=mota, motp=motp,
+        idf1=_idf1(gt_frames, hyp_frames, iou_threshold),
+        num_frames=len(gt_frames), num_gt=num_gt,
         num_matches=num_matches, num_fp=num_fp, num_fn=num_fn, num_idsw=num_idsw,
+        mostly_tracked=mt, mostly_lost=ml,
     )
 
 
