@@ -45,6 +45,8 @@ def test_config1_quality_floor():
     assert m.mota > 0.80, m.as_dict()
     assert m.motp > 0.85, m.as_dict()
     assert m.num_idsw <= 6, m.as_dict()
+    assert m.idf1 > 0.85, m.as_dict()
+    assert m.mostly_tracked == 12 and m.mostly_lost == 0, m.as_dict()
 
 
 def test_config1_matches_golden():
@@ -84,9 +86,11 @@ def run_config3():
 def test_config3_quality_floor():
     outs, gt = run_config3()
     m = evaluate_mot(gt_to_frames(gt), track_outputs_to_frames(outs, CLIP.num_frames))
-    # appearance + recovery must not be worse than the IoU-only floor
+    # appearance must IMPROVE identity quality over the IoU-only config
+    # (measured: IDF1 0.913 -> 0.967, IDSW 4 -> 2 on this clip)
     assert m.mota > 0.80, m.as_dict()
-    assert m.num_idsw <= 6, m.as_dict()
+    assert m.num_idsw <= 4, m.as_dict()
+    assert m.idf1 > 0.93, m.as_dict()
 
 
 def test_config3_matches_golden():
