@@ -81,8 +81,23 @@ def track_step(
     )
 
     # 2. Stage-1 association: active tracks x detections (IoU + appearance).
-    c1, f1 = cost_mod.stage1_cost(state, dets, det_valid, active, cfg)
-    row_to_col, col_to_row = _assign(c1, f1, active, det_valid, cfg)
+    if cfg.fused_stage1:
+        from waymo_2d_tracking_tpu.ops.fused_assoc import fused_stage1_assign
+
+        lam = cfg.appearance_weight if cfg.embed_dim > 0 else 0.0
+        row_to_col, col_to_row = fused_stage1_assign(
+            state.mean, state.embed, state.classes, active,
+            dets.boxes, dets.embeds, dets.classes, det_valid,
+            appearance_weight=lam,
+            iou_threshold=cfg.iou_threshold,
+            appearance_gate=cfg.appearance_gate,
+            eps_scale=cfg.auction_eps_scale,
+            eps_min=cfg.auction_eps_min,
+            max_iters=cfg.auction_max_iters,
+        )
+    else:
+        c1, f1 = cost_mod.stage1_cost(state, dets, det_valid, active, cfg)
+        row_to_col, col_to_row = _assign(c1, f1, active, det_valid, cfg)
 
     recovered = jnp.zeros((cfg.max_tracks,), dtype=bool)
     if cfg.reid_recovery and cfg.embed_dim > 0:
