@@ -56,3 +56,21 @@ def test_topk_exact_and_approx():
     # approx recall: most of the true top-128 present
     recall = np.isin(np.asarray(v_approx), np.sort(s)[::-1][:128]).mean()
     assert recall > 0.9
+
+
+def test_threshold_snap_verified_on_large_magnitude_range():
+    """Adversarial case for the snap (ADVICE r1): a huge score range leaves
+    representable values inside the final binary-search window, so an
+    unverified snap returns a value BELOW the true k-th; the verify-and-
+    restart outer loop must converge to the exact k-th value."""
+    import jax.numpy as jnp
+    from waymo_2d_tracking_tpu.ops.topk import pallas_topk_threshold, topk_mask
+
+    s = jnp.asarray([1e9, -1e9, 0.0, 1e-4, 1e-4, -3e8, 2e8], jnp.float32)
+    kth, n_above = pallas_topk_threshold(s, k=3, interpret=True)
+    # true 3rd largest is 1e-4 (1e9, 2e8, 1e-4, 1e-4, 0, ...)
+    assert float(kth) == np.float32(1e-4)
+    assert int(n_above) == 2
+    mask = np.asarray(topk_mask(s, 3, interpret=True))
+    assert mask.sum() == 3
+    assert mask[0] and mask[6] and mask[3]

@@ -75,8 +75,13 @@ def cmd_track(args):
         pipeline.params = _load_params(args.params)
     segments = iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras)
     with trace(args.profile):
-        stats = run_segments(pipeline, segments, args.out_dir,
-                             fail_after=args.fail_after_n_segments)
+        if args.sharded:
+            from waymo_2d_tracking_tpu.pipeline.sharded import run_segments_sharded
+
+            stats = run_segments_sharded(pipeline, segments, args.out_dir)
+        else:
+            stats = run_segments(pipeline, segments, args.out_dir,
+                                 fail_after=args.fail_after_n_segments)
     for s in stats:
         print(json.dumps(s))
 
@@ -180,11 +185,13 @@ def cmd_eval(args):
     pred = to_frames(subm.read_jsonl(args.pred))
     gt = to_frames(subm.read_jsonl(args.gt))
     agg = {}
-    for key in sorted(gt):
-        stamps = sorted(gt[key])
+    # union of keys: predictions for (context, camera) pairs absent from the
+    # GT file count as false positives (empty GT frames), not silent drops
+    for key in sorted(set(gt) | set(pred)):
+        stamps = sorted(set(gt.get(key, {})) | set(pred.get(key, {})))
         gt_frames, hyp_frames = [], []
         for ts in stamps:
-            g = gt[key][ts]
+            g = gt.get(key, {}).get(ts, [])
             h = pred.get(key, {}).get(ts, [])
             gt_frames.append(
                 (np.array([hash(r.object_id) % (2**31) for r in g]),
@@ -233,6 +240,19 @@ def cmd_train(args):
     trainer.save_checkpoint(state)
 
 
+def cmd_import_weights(args):
+    """Torch .pth checkpoint -> flax/orbax params (reference-weight unlock)."""
+    from waymo_2d_tracking_tpu.train.port_torch import import_weights
+
+    cfg = _load_config(args)
+    report = import_weights(args.ckpt, args.out, cfg=cfg.detector)
+    print(json.dumps({
+        k: report[k] for k in ("out", "n_imported", "n_skipped_shape", "n_missing")
+    }))
+    if args.verbose:
+        print(json.dumps(report, indent=2))
+
+
 def cmd_convert(args):
     from waymo_2d_tracking_tpu.data.coco import convert_segments_to_coco
 
@@ -274,6 +294,9 @@ def build_parser():
     sp.add_argument("--from-detections", help="JSONL detections (config-1 path)")
     sp.add_argument("--multicam", action="store_true",
                     help="shared-backbone multi-camera batching (config 4)")
+    sp.add_argument("--sharded", action="store_true",
+                    help="fan segments across the device mesh (one segment "
+                         "per chip via shard_map; C28 inference fan-out)")
     sp.add_argument("--out", default="tracks.jsonl")
     sp.add_argument("--fail-after-n-segments", type=int, default=None)
     sp.set_defaults(fn=cmd_track)
@@ -301,6 +324,15 @@ def build_parser():
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--sharded", action="store_true")
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("import-weights",
+                        help="torch .pth checkpoint -> flax/orbax params")
+    common(sp)
+    sp.add_argument("ckpt", help="torch state-dict checkpoint (.pth)")
+    sp.add_argument("--out", required=True, help="orbax output dir")
+    sp.add_argument("--verbose", action="store_true",
+                    help="print per-key import report")
+    sp.set_defaults(fn=cmd_import_weights)
 
     sp = sub.add_parser("convert", help="Waymo segments -> COCO detection data")
     sp.add_argument("--segments-dir", required=True)

@@ -20,6 +20,7 @@ Two sources:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import struct
 from typing import Dict, Iterator, List, Optional, Sequence
@@ -27,6 +28,8 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from waymo_2d_tracking_tpu.utils import protolite as pb
+
+logger = logging.getLogger(__name__)
 
 # Waymo camera name enum (CameraName.Name)
 CAMERA_NAMES = {"FRONT": 1, "FRONT_LEFT": 2, "FRONT_RIGHT": 3,
@@ -209,9 +212,23 @@ def iter_segments(path: str, cameras: Sequence[str] = ("FRONT",)):
                 for c in cam_ids:
                     per_cam[c].append(fr["images"].get(c, b""))
             for c in cam_ids:
+                # a record may carry only a subset of cameras; empty JPEG
+                # bytes would crash the decoder downstream — keep only the
+                # frames (and their timestamps) this camera actually has
+                pairs = [
+                    (t, j) for t, j in zip(stamps, per_cam[c]) if j
+                ]
+                if len(pairs) < len(stamps):
+                    logger.warning(
+                        "%s camera %d: %d/%d frames missing image data",
+                        entry, c, len(stamps) - len(pairs), len(stamps),
+                    )
+                if not pairs:
+                    continue
                 yield SegmentFrames(
-                    context_name=ctx, camera_name=c, timestamps=stamps,
-                    jpeg_frames=per_cam[c],
+                    context_name=ctx, camera_name=c,
+                    timestamps=[t for t, _ in pairs],
+                    jpeg_frames=[j for _, j in pairs],
                 )
         elif os.path.isdir(full) and os.path.exists(os.path.join(full, "meta.json")):
             meta = json.load(open(os.path.join(full, "meta.json")))

@@ -8,13 +8,18 @@ three viable strategies, all provided here:
                                the right call for detector candidate pruning
                                where exact order below the cut doesn't matter.
 - ``pallas_topk_threshold``  — the Pallas deliverable: exact k-th-value
-                               threshold via ~32-step binary search over VMEM
-                               (O(32·N) streaming reads, no sort), plus a
+                               threshold via binary search over VMEM
+                               (O(iters·N) streaming reads, no sort), plus a
                                tie-aware selection mask. Useful when only the
                                *set* of top-k is needed (masking candidates
                                before NMS) — selection without ordering.
+                               Exactness for arbitrary value ranges comes from
+                               a snap-and-verify outer loop (see kernel).
 
-``topk`` picks the strategy; the detector uses ``approx`` on TPU.
+``topk`` picks the strategy; the detector's per-level candidate selection
+uses ``DetectorConfig.topk_method`` ('exact' by default — measured on TPU
+v5e, ``approx_max_k`` gave no speedup at the detector's N=28800 per-level
+sizes, see docs/DESIGN.md).
 """
 from __future__ import annotations
 
@@ -32,12 +37,21 @@ def _threshold_kernel(scores_ref, thr_ref, cnt_ref, *, k: int, iters: int):
 
     Outputs: thr (1, 1) f32 — value v such that count(scores > v) < k
     <= count(scores >= v); cnt (1, 1) i32 — count(scores > thr).
+
+    Exactness: the invariant count(s >= lo) >= k holds throughout, so the
+    snap kth = min{s >= lo} always satisfies count(s >= kth) >= k; but when
+    ``iters`` halvings leave representable data values inside (lo, true-kth)
+    — possible for large-magnitude score ranges — the snap can land BELOW the
+    true k-th value. The outer loop verifies count(s > kth) < k and on
+    failure restarts the search from lo = kth (a real data value, so each
+    failed round strictly advances through the finite set of distinct scores;
+    ~1 round in practice, hard-capped).
     """
     s = scores_ref[:]
     lo0 = jnp.min(s) - 1.0
     hi0 = jnp.max(s)
 
-    def body(_, carry):
+    def halve(_, carry):
         lo, hi = carry
         mid = (lo + hi) * 0.5
         c = jnp.sum((s >= mid).astype(jnp.float32))
@@ -45,11 +59,21 @@ def _threshold_kernel(scores_ref, thr_ref, cnt_ref, *, k: int, iters: int):
         take = c >= k
         return jnp.where(take, mid, lo), jnp.where(take, hi, mid)
 
-    lo, _hi = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
-    # Invariant: count(scores >= lo) >= k, and after `iters` halvings no
-    # representable f32 lies strictly between lo and the true k-th value —
-    # so snapping to min over {s >= lo} yields the exact k-th value.
-    kth = jnp.min(jnp.where(s >= lo, s, jnp.full_like(s, jnp.inf)))
+    def outer_cond(carry):
+        _lo, _hi, _kth, verified, rounds = carry
+        return jnp.logical_and(jnp.logical_not(verified), rounds < 16)
+
+    def outer_body(carry):
+        lo, hi, _kth, _v, rounds = carry
+        lo, hi = jax.lax.fori_loop(0, iters, halve, (lo, hi))
+        kth = jnp.min(jnp.where(s >= lo, s, jnp.full_like(s, jnp.inf)))
+        verified = jnp.sum((s > kth).astype(jnp.float32)) < k
+        return kth, hi, kth, verified, rounds + 1
+
+    _, _, kth, _, _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (lo0, hi0, lo0, jnp.bool_(False), jnp.int32(0)),
+    )
     thr_ref[0, 0] = kth
     cnt_ref[0, 0] = jnp.sum((s > kth).astype(jnp.int32))
 

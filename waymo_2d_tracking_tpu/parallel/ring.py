@@ -20,7 +20,10 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # jax < 0.8
+    from jax.experimental.shard_map import shard_map
 
 from waymo_2d_tracking_tpu.parallel.sharding import DATA_AXIS
 
@@ -39,9 +42,7 @@ def _ring_score_local(queries, gallery_shard, gallery_valid, axis_name):
     me = jax.lax.axis_index(axis_name)
     shard_size = gallery_shard.shape[0]
 
-    sims0 = queries @ gallery_shard.T                        # (Q, S_local)
     neg = jnp.float32(-2.0)
-    sims0 = jnp.where(gallery_valid[None, :], sims0, neg)
 
     def step(carry, k):
         block, best_sim, best_idx = carry

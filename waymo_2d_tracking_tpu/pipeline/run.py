@@ -158,8 +158,11 @@ class SegmentPipeline:
         if segment.frames is not None:
             src_hw = tuple(segment.frames.shape[1:3])
         else:
-            first = segment.chunk_iter(1).__next__()
-            src_hw = tuple(first.shape[1:3])
+            it = segment.chunk_iter(1)
+            try:
+                src_hw = tuple(next(it).shape[1:3])
+            finally:
+                it.close()  # runs chunk_iter's finally -> decoder.close()
 
         state = init_state(cfg.tracker)
         outputs_host: List = []
