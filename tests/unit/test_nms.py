@@ -130,3 +130,37 @@ def test_nms_wrapper_sorts_and_selects():
     keep = np_greedy_nms(boxes[order], np.ones(n, bool), 0.5)
     expected_idx = order[keep][:32]
     np.testing.assert_array_equal(out_idx[out_valid], expected_idx[: out_valid.sum()])
+
+
+def test_batched_mask_matches_per_image_oracle():
+    from waymo_2d_tracking_tpu.ops.nms import pallas_nms_mask_batched
+
+    rng = np.random.default_rng(7)
+    b, n = 5, 130  # crosses the 128 block boundary
+    boxes = np.stack([random_sorted_boxes(rng, n) for _ in range(b)])
+    valid = rng.uniform(size=(b, n)) > 0.1
+    got = np.asarray(
+        pallas_nms_mask_batched(jnp.asarray(boxes), jnp.asarray(valid), 0.5,
+                                interpret=True)
+    )
+    for i in range(b):
+        np.testing.assert_array_equal(
+            got[i], np_greedy_nms(boxes[i], valid[i], 0.5), err_msg=f"img {i}"
+        )
+
+
+def test_nms_batched_matches_single_loop():
+    from waymo_2d_tracking_tpu.ops.nms import nms_batched
+
+    rng = np.random.default_rng(3)
+    b, n = 4, 96
+    boxes = np.stack([random_sorted_boxes(rng, n) for _ in range(b)])
+    scores = rng.uniform(0.01, 1.0, size=(b, n)).astype(np.float32)
+    got = nms_batched(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                      max_outputs=32, score_threshold=0.05, interpret=True)
+    for i in range(b):
+        want = nms(jnp.asarray(boxes[i]), jnp.asarray(scores[i]), 0.5,
+                   max_outputs=32, score_threshold=0.05, interpret=True)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g)[i], np.asarray(w),
+                                       err_msg=f"img {i}")

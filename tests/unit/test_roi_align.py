@@ -128,3 +128,54 @@ def test_pallas_matches_xla():
                                       spatial_scale=0.25, output_size=7,
                                       sampling_ratio=2, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_roi_align_batched_matches_per_image():
+    from waymo_2d_tracking_tpu.ops.roi_align import roi_align_batched
+
+    rng = np.random.default_rng(11)
+    n, h, w, c = 3, 24, 32, 8
+    feats = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    r = 10
+    xy = rng.uniform(0, 100, size=(n, r, 2))
+    wh = rng.uniform(8, 60, size=(n, r, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
+
+    got = np.asarray(
+        roi_align_batched(jnp.asarray(feats), jnp.asarray(boxes),
+                          spatial_scale=0.25, output_size=7, roi_chunk=4)
+    )
+    assert got.shape == (n, r, 7, 7, c)
+    for i in range(n):
+        want = np.asarray(
+            roi_align(jnp.asarray(feats[i]), jnp.asarray(boxes[i]),
+                      spatial_scale=0.25, output_size=7)
+        )
+        np.testing.assert_allclose(got[i], want, atol=1e-5, rtol=1e-5,
+                                   err_msg=f"img {i}")
+
+
+def test_roi_align_multilevel_batched_matches_per_image():
+    from waymo_2d_tracking_tpu.ops.roi_align import (
+        roi_align_multilevel,
+        roi_align_multilevel_batched,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 2
+    levels = {3: jnp.asarray(rng.standard_normal((n, 16, 24, 4)).astype(np.float32)),
+              4: jnp.asarray(rng.standard_normal((n, 8, 12, 4)).astype(np.float32))}
+    strides = {3: 8, 4: 16}
+    # one small box (routes to P3), one large (routes to P4)
+    boxes = np.array([[[8, 8, 40, 40], [0, 0, 180, 120]],
+                      [[16, 16, 60, 52], [4, 4, 190, 126]]], np.float32)
+    got = np.asarray(
+        roi_align_multilevel_batched(levels, jnp.asarray(boxes), strides,
+                                     output_size=5)
+    )
+    for i in range(n):
+        want = np.asarray(
+            roi_align_multilevel({k: v[i] for k, v in levels.items()},
+                                 jnp.asarray(boxes[i]), strides, output_size=5)
+        )
+        np.testing.assert_allclose(got[i], want, atol=1e-5, rtol=1e-5)

@@ -21,8 +21,11 @@ from waymo_2d_tracking_tpu.models.fpn import FPN
 from waymo_2d_tracking_tpu.models.heads import FCOSHeads, decode_level
 from waymo_2d_tracking_tpu.models.reid import ReIDHead
 from waymo_2d_tracking_tpu.models.resnet import ResNet, ResNet50
-from waymo_2d_tracking_tpu.ops.nms import nms
-from waymo_2d_tracking_tpu.ops.roi_align import roi_align
+from waymo_2d_tracking_tpu.ops.nms import nms_batched
+from waymo_2d_tracking_tpu.ops.roi_align import (
+    roi_align_batched,
+    roi_align_multilevel_batched,
+)
 from waymo_2d_tracking_tpu.types import Detections
 
 # class-aware NMS: boxes of different classes are offset far apart so one
@@ -49,12 +52,15 @@ class Detector(nn.Module):
         }
         if self.cfg.backbone not in factories:
             raise ValueError(f"unknown backbone {self.cfg.backbone}")
-        self.backbone = factories[self.cfg.backbone](dtype=dtype)
+        self.backbone = factories[self.cfg.backbone](
+            dtype=dtype, stem=self.cfg.stem
+        )
         self.fpn = FPN(channels=self.cfg.fpn_channels,
                        levels=tuple(self.cfg.fpn_levels), dtype=dtype)
         self.heads = FCOSHeads(
             num_classes=self.cfg.num_classes, depth=self.cfg.head_depth,
-            channels=self.cfg.fpn_channels, levels=tuple(self.cfg.fpn_levels),
+            channels=self.cfg.head_channels or self.cfg.fpn_channels,
+            levels=tuple(self.cfg.fpn_levels),
             dtype=dtype,
         )
         if self.cfg.embed_dim > 0:
@@ -83,79 +89,118 @@ class Detector(nn.Module):
 
 
 def _level_candidates(
-    cls_logits: jnp.ndarray,   # (H, W, K)
-    ltrb: jnp.ndarray,         # (H, W, 4) stride units
-    ctr: jnp.ndarray,          # (H, W, 1)
+    cls_logits: jnp.ndarray,   # (N, H, W, K)
+    ltrb: jnp.ndarray,         # (N, H, W, 4) stride units
+    ctr: jnp.ndarray,          # (N, H, W, 1)
     stride: int,
     k: int,
+    method: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-level top-k candidates: (boxes (k,4), scores (k,), classes (k,))."""
-    h, w, num_classes = cls_logits.shape
+    """Per-level top-k candidates for a whole image batch:
+    (boxes (N,k,4), scores (N,k), classes (N,k))."""
+    n, h, w, num_classes = cls_logits.shape
     prob = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
     ctr_prob = jax.nn.sigmoid(ctr.astype(jnp.float32))
-    score = jnp.sqrt(jnp.maximum(prob * ctr_prob, 0.0))        # (H, W, K) FCOS
-    boxes = decode_level(ltrb[None], stride)[0]                # (H, W, 4)
+    score = jnp.sqrt(jnp.maximum(prob * ctr_prob, 0.0))        # (N,H,W,K) FCOS
+    boxes = decode_level(ltrb, stride)                          # (N,H,W,4)
 
-    flat_scores = score.reshape(-1)                             # (H*W*K,)
-    k_eff = min(k, flat_scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(flat_scores, k_eff)
+    flat_scores = score.reshape(n, -1)                          # (N, H*W*K)
+    k_eff = min(k, flat_scores.shape[1])
+    if method == "approx":
+        top_scores, top_idx = jax.lax.approx_max_k(flat_scores, k_eff)
+    else:
+        top_scores, top_idx = jax.lax.top_k(flat_scores, k_eff)
     loc_idx = top_idx // num_classes
     cls_idx = (top_idx % num_classes).astype(jnp.int32)
-    top_boxes = boxes.reshape(-1, 4)[loc_idx]
+    top_boxes = jnp.take_along_axis(
+        boxes.reshape(n, -1, 4), loc_idx[..., None], axis=1
+    )
     return top_boxes, top_scores, cls_idx
 
 
-def gather_candidates(
+def gather_candidates_batched(
     head_out: Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
     cfg: DetectorConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single image: per-level top-k candidates concatenated over levels.
+    """Batched per-level top-k candidates concatenated over levels.
 
-    Returns (boxes (C,4), scores (C,), classes (C,)). Exposed separately so
-    TTA (C19) can merge candidate sets from several views before one NMS.
+    head_out values are (N, H, W, ...) tensors. Returns (boxes (N,C,4),
+    scores (N,C), classes (N,C)). Exposed separately so TTA (C19) can merge
+    candidate sets from several views before one NMS.
     """
     cand_boxes, cand_scores, cand_classes = [], [], []
     for lvl in cfg.fpn_levels:
         cls_l, ltrb_l, ctr_l = head_out[lvl]
         b, s, c = _level_candidates(
-            cls_l, ltrb_l, ctr_l, stride=2 ** lvl, k=cfg.pre_nms_topk
+            cls_l, ltrb_l, ctr_l, stride=2 ** lvl, k=cfg.pre_nms_topk,
+            method=cfg.topk_method,
         )
         cand_boxes.append(b)
         cand_scores.append(s)
         cand_classes.append(c)
     return (
-        jnp.concatenate(cand_boxes, axis=0),
-        jnp.concatenate(cand_scores, axis=0),
-        jnp.concatenate(cand_classes, axis=0),
+        jnp.concatenate(cand_boxes, axis=1),
+        jnp.concatenate(cand_scores, axis=1),
+        jnp.concatenate(cand_classes, axis=1),
     )
 
 
-def select_detections(
-    boxes: jnp.ndarray,
-    scores: jnp.ndarray,
-    classes: jnp.ndarray,
+def gather_candidates(head_out, cfg):
+    """Single-image variant of ``gather_candidates_batched`` (TTA path):
+    head_out values are per-image (H, W, ...) tensors."""
+    b, s, c = gather_candidates_batched(
+        {lvl: tuple(t[None] for t in head_out[lvl]) for lvl in cfg.fpn_levels},
+        cfg,
+    )
+    return b[0], s[0], c[0]
+
+
+def select_detections_batched(
+    boxes: jnp.ndarray,        # (N, C, 4)
+    scores: jnp.ndarray,       # (N, C)
+    classes: jnp.ndarray,      # (N, C)
     cfg: DetectorConfig,
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Class-aware Pallas NMS + final top-D selection over candidates."""
+    """Class-aware Pallas NMS + final top-D selection, whole batch at once."""
     # global cross-level cap: NMS block count scales with candidate count,
     # and the tail below ~1k scores never survives anyway
-    if 0 < cfg.nms_topk < boxes.shape[0]:
+    if 0 < cfg.nms_topk < boxes.shape[1]:
         scores, sel = jax.lax.top_k(scores, cfg.nms_topk)
-        boxes = boxes[sel]
-        classes = classes[sel]
-    shifted = boxes + (classes.astype(jnp.float32) * _CLASS_NMS_OFFSET)[:, None]
-    _nms_boxes, nms_scores, keep_idx, valid = nms(
+        boxes = jnp.take_along_axis(boxes, sel[..., None], axis=1)
+        classes = jnp.take_along_axis(classes, sel, axis=1)
+    shifted = boxes + (classes.astype(jnp.float32) * _CLASS_NMS_OFFSET)[..., None]
+    _nms_boxes, nms_scores, keep_idx, valid = nms_batched(
         shifted, scores,
         iou_threshold=cfg.nms_iou_threshold,
         max_outputs=cfg.max_detections,
         score_threshold=cfg.score_threshold,
         interpret=interpret,
     )
-    safe_idx = jnp.clip(keep_idx, 0, boxes.shape[0] - 1)
-    out_boxes = jnp.where(valid[:, None], boxes[safe_idx], 0.0)
-    out_classes = jnp.where(valid, classes[safe_idx], 0)
+    safe_idx = jnp.clip(keep_idx, 0, boxes.shape[1] - 1)
+    out_boxes = jnp.where(
+        valid[..., None], jnp.take_along_axis(boxes, safe_idx[..., None], axis=1), 0.0
+    )
+    out_classes = jnp.where(valid, jnp.take_along_axis(classes, safe_idx, axis=1), 0)
     return out_boxes, nms_scores, out_classes, valid
+
+
+def select_detections(boxes, scores, classes, cfg, interpret: bool | None = None):
+    """Single-image variant of ``select_detections_batched`` (TTA path)."""
+    b, s, c, v = select_detections_batched(
+        boxes[None], scores[None], classes[None], cfg, interpret=interpret
+    )
+    return b[0], s[0], c[0], v[0]
+
+
+def postprocess_batched(
+    head_out: Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    cfg: DetectorConfig,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched head outputs -> (boxes (N,D,4), scores, classes, valid)."""
+    boxes, scores, classes = gather_candidates_batched(head_out, cfg)
+    return select_detections_batched(boxes, scores, classes, cfg, interpret=interpret)
 
 
 def postprocess_single(
@@ -163,7 +208,8 @@ def postprocess_single(
     cfg: DetectorConfig,
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single image: head outputs -> (boxes (D,4), scores, classes, valid)."""
+    """Single image: head outputs (H, W, ...) -> (boxes (D,4), scores,
+    classes, valid)."""
     boxes, scores, classes = gather_candidates(head_out, cfg)
     return select_detections(boxes, scores, classes, cfg, interpret=interpret)
 
@@ -187,35 +233,41 @@ class DetectorRunner:
         return self.module.init(rng, images, method=Detector.init_all)
 
     def _detect_impl(self, params, images) -> Detections:
-        n = images.shape[0]
+        """Whole-batch detect: no Python loop over images — candidate top-k,
+        Pallas NMS (gridded over the batch), RoIAlign, and the ReID head all
+        run as single batched calls (round 1 serialized B postprocess chains
+        per chunk, bloating both runtime and compile time)."""
         head_out, p_feats = self.module.apply(params, images)
-
-        def single(i):
-            per_img = {
-                lvl: tuple(t[i] for t in head_out[lvl]) for lvl in self.cfg.fpn_levels
-            }
-            boxes, scores, classes, valid = postprocess_single(
-                per_img, self.cfg, interpret=self._interpret
-            )
-            if self.cfg.embed_dim > 0:
-                lvl0 = min(self.cfg.fpn_levels)
-                pooled = roi_align(
-                    p_feats[lvl0][i], boxes, spatial_scale=1.0 / (2 ** lvl0),
+        boxes, scores, classes, valid = postprocess_batched(
+            head_out, self.cfg, interpret=self._interpret
+        )
+        n, d = boxes.shape[:2]
+        if self.cfg.embed_dim > 0:
+            if self.cfg.reid_multilevel:
+                # pool from P3..P5 only (the torchvision MultiScaleRoIAlign
+                # convention): P6/P7 are detection-only extra-stride levels
+                lvls = [l for l in self.cfg.fpn_levels if l <= 5]
+                pooled = roi_align_multilevel_batched(
+                    {lvl: p_feats[lvl] for lvl in lvls},
+                    boxes,
+                    {lvl: 2 ** lvl for lvl in lvls},
                     output_size=7,
                 )
-                embeds = self.module.apply(params, pooled, method=Detector.embed)
-                embeds = embeds * valid[:, None]
             else:
-                embeds = jnp.zeros((boxes.shape[0], 1), jnp.float32)
-            return Detections(
-                boxes=boxes, scores=scores, classes=classes,
-                embeds=embeds, valid=valid,
-            )
-
-        # sequential per image inside the jit: NMS/RoIAlign are Pallas calls
-        # (not vmap-batchable); n is small (cameras x chunk)
-        dets = [single(i) for i in range(n)]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *dets)
+                lvl0 = min(self.cfg.fpn_levels)
+                pooled = roi_align_batched(
+                    p_feats[lvl0], boxes, spatial_scale=1.0 / (2 ** lvl0),
+                    output_size=7,
+                )
+            flat = pooled.reshape((n * d,) + pooled.shape[2:])
+            embeds = self.module.apply(params, flat, method=Detector.embed)
+            embeds = embeds.reshape(n, d, -1) * valid[..., None]
+        else:
+            embeds = jnp.zeros((n, d, 1), jnp.float32)
+        return Detections(
+            boxes=boxes, scores=scores, classes=classes,
+            embeds=embeds, valid=valid,
+        )
 
     def detect(self, params, images) -> Detections:
         """images (N, H, W, 3) float32 [0,1]-ish -> batched Detections (N, D, ...)."""

@@ -133,6 +133,52 @@ def _auto_interpret(interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+def pallas_nms_mask_batched(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float = 0.6,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Greedy NMS keep-mask, batched over images via the kernel grid.
+
+    boxes (B, N, 4) MUST be score-sorted descending within each image;
+    valid (B, N) bool/float. Returns (B, N) bool keep mask. One kernel
+    program per image — no Python loop over the batch (the per-image chunk
+    postprocess of round 1 serialized B chains and bloated compile time).
+    """
+    interpret = _auto_interpret(interpret)
+    b, n = boxes.shape[0], boxes.shape[1]
+    n_pad = _round_up(max(n, _BLOCK), _BLOCK)
+    # planes are (B, 1, n_pad); the grid iterates B with the batch dim
+    # squeezed out of the block (None), so each program sees the (1, n_pad)
+    # refs the kernel body is written for. (A (1, n_pad) block over a
+    # (B, n_pad) array violates Mosaic's sublane divisibility rule — caught
+    # on real TPU, invisible in interpret mode.)
+    planes = []
+    for k in range(4):
+        planes.append(
+            jnp.zeros((b, 1, n_pad), jnp.float32).at[:, 0, :n].set(
+                boxes[:, :, k].astype(jnp.float32)
+            )
+        )
+    valid_p = jnp.zeros((b, 1, n_pad), jnp.float32).at[:, 0, :n].set(
+        valid.astype(jnp.float32)
+    )
+
+    row_spec = pl.BlockSpec(
+        (None, 1, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_nms_kernel, iou_threshold=iou_threshold, n=n_pad),
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
+        in_specs=[row_spec] * 5,
+        out_specs=row_spec,
+        interpret=interpret,
+    )(*planes, valid_p)
+    return out[:, 0, :n] > 0.0
+
+
 def pallas_nms_mask(
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
@@ -143,26 +189,47 @@ def pallas_nms_mask(
 
     valid: (N,) bool/float mask of real entries. Returns (N,) bool keep mask.
     """
-    interpret = _auto_interpret(interpret)
-    n = boxes.shape[0]
-    n_pad = _round_up(max(n, _BLOCK), _BLOCK)
-    planes = []
-    for k in range(4):
-        planes.append(
-            jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
-                boxes[:, k].astype(jnp.float32)
-            )
-        )
-    valid_p = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(valid.astype(jnp.float32))
+    return pallas_nms_mask_batched(
+        boxes[None], valid[None], iou_threshold, interpret=interpret
+    )[0]
 
-    out = pl.pallas_call(
-        functools.partial(_nms_kernel, iou_threshold=iou_threshold, n=n_pad),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(*planes, valid_p)
-    return out[0, :n] > 0.0
+
+def nms_batched(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float = 0.6,
+    max_outputs: int = 128,
+    score_threshold: float = 0.0,
+    interpret: bool | None = None,
+):
+    """Batched full NMS: per-image sort, suppress, return top ``max_outputs``.
+
+    boxes (B, N, 4), scores (B, N). Returns (boxes (B, K, 4), scores (B, K),
+    indices (B, K) into the input, valid (B, K) bool) with K = max_outputs,
+    padded with zeros / -1. All sorts/gathers are batched XLA ops; the
+    suppression runs as one gridded Pallas call.
+    """
+    n = boxes.shape[-2]
+    order_scores, order = jax.lax.top_k(scores, n)                 # (B, N)
+    sorted_boxes = jnp.take_along_axis(boxes, order[..., None], axis=-2)
+    valid = order_scores > score_threshold
+    keep = pallas_nms_mask_batched(
+        sorted_boxes, valid, iou_threshold, interpret=interpret
+    )
+
+    sel_scores = jnp.where(keep, order_scores, -jnp.inf)
+    top_scores, sel = jax.lax.top_k(sel_scores, max_outputs)       # (B, K)
+    out_valid = jnp.isfinite(top_scores)
+    out_boxes = jnp.where(
+        out_valid[..., None],
+        jnp.take_along_axis(sorted_boxes, sel[..., None], axis=-2),
+        0.0,
+    )
+    out_scores = jnp.where(out_valid, top_scores, 0.0)
+    out_idx = jnp.where(
+        out_valid, jnp.take_along_axis(order, sel, axis=-1), -1
+    )
+    return out_boxes, out_scores, out_idx, out_valid
 
 
 def nms(
@@ -179,19 +246,11 @@ def nms(
     indices (K,) into the input, valid (K,) bool) with K = max_outputs,
     padded with zeros / -1.
     """
-    n = boxes.shape[0]
-    order_scores, order = jax.lax.top_k(scores, n)
-    sorted_boxes = boxes[order]
-    valid = order_scores > score_threshold
-    keep = pallas_nms_mask(sorted_boxes, valid, iou_threshold, interpret=interpret)
-
-    sel_scores = jnp.where(keep, order_scores, -jnp.inf)
-    top_scores, sel = jax.lax.top_k(sel_scores, max_outputs)
-    out_valid = jnp.isfinite(top_scores)
-    out_boxes = jnp.where(out_valid[:, None], sorted_boxes[sel], 0.0)
-    out_scores = jnp.where(out_valid, top_scores, 0.0)
-    out_idx = jnp.where(out_valid, order[sel], -1)
-    return out_boxes, out_scores, out_idx, out_valid
+    b, s, i, v = nms_batched(
+        boxes[None], scores[None], iou_threshold, max_outputs,
+        score_threshold, interpret=interpret,
+    )
+    return b[0], s[0], i[0], v[0]
 
 
 def reference_nms_mask(boxes, valid, iou_threshold):
