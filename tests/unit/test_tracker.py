@@ -161,3 +161,27 @@ def test_next_id_monotonic_and_dense():
     tracker = make_tracker()
     state, _ = run(tracker, frames)
     assert int(state.next_id) == 3
+
+
+def test_motion_gate_blocks_implausible_jump():
+    """With Mahalanobis motion gating on (round-2 wiring of
+    kalman.gating_distance), a detection teleporting far from the Kalman
+    prediction but still IoU-overlapping must NOT extend the track; with the
+    gate off it does. Uses a huge box so a big jump keeps IoU high."""
+    big = (0.0, 0.0, 400.0, 400.0)
+    jumped = (80.0, 80.0, 480.0, 480.0)  # IoU ~0.66, Mahalanobis huge
+    frames = [[(np.array(big, np.float32), 0.9, 0)]] * 4 + [
+        [(np.array(jumped, np.float32), 0.9, 0)]
+    ]
+
+    _, outs_base = run(
+        make_tracker(n_init=1, iou_threshold=0.05, motion_gate=0.0), frames
+    )
+    _, outs_gated = run(
+        make_tracker(n_init=1, iou_threshold=0.05, motion_gate=9.4877), frames
+    )
+    # ungated: the jump is associated, same id persists
+    assert emitted_ids(outs_base, 4) == emitted_ids(outs_base, 3)
+    # gated: association forbidden -> no confirmed emission on the jump frame
+    # (the new birth is tentative; the old track is missing)
+    assert emitted_ids(outs_gated, 4) != emitted_ids(outs_gated, 3)

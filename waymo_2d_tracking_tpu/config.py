@@ -34,6 +34,10 @@ class TrackerConfig:
     iou_threshold: float = 0.3     # min IoU for a valid match (gating)
     appearance_weight: float = 0.0 # lambda: cost = (1-l)*iou_cost + l*cos_cost
     appearance_gate: float = 0.4   # max cosine distance for a valid match
+    motion_gate: float = 0.0       # chi-square gate on squared Mahalanobis
+                                   # distance to the Kalman prediction
+                                   # (DeepSORT-style; 9.4877 = chi2 95% 4-dof;
+                                   # 0 disables)
     score_threshold: float = 0.5   # min det score to participate at all
     birth_score_threshold: float = 0.6  # min score to birth a new track
 
@@ -68,18 +72,33 @@ class DetectorConfig:
     num_classes: int = 3                 # Waymo 2D: vehicle, pedestrian, cyclist
     image_size: Tuple[int, int] = (640, 960)   # (H, W) after letterbox; config 2 uses (1280, 1920)
     backbone: str = "resnet50"
+    stem: str = "conv7"       # 'conv7' (torch-parity 7x7/s2) or 's2d'
+                              # (weight-equivalent space-to-depth 4x4/s1 —
+                              # the MLPerf-TPU stem: C_in 3->12 fills MXU
+                              # lanes; convert_stem_to_s2d ports weights)
     fpn_channels: int = 256
     fpn_levels: Tuple[int, ...] = (3, 4, 5, 6, 7)   # P3..P7 strides 8..128
     head_depth: int = 4
+    head_channels: int = 0    # FCOS tower width; 0 = same as fpn_channels.
+                              # The head towers are the single largest FLOP
+                              # block at 640x960 (see docs/DESIGN.md roofline)
+                              # — 128 quarters head cost vs the FCOS-standard
+                              # 256 at some accuracy risk on real data
     # anchor-free (FCOS-style) head: one box + per-class score per location
     score_threshold: float = 0.05
     pre_nms_topk: int = 512   # per level; 1000 matches the usual FCOS setting
                               # but 512 halves NMS work with negligible recall
                               # impact at Waymo scene densities
+    topk_method: str = "exact"  # per-level candidate top-k: 'exact'
+                                # (lax.top_k) or 'approx' (lax.approx_max_k)
     nms_topk: int = 1024      # global cross-level candidate cap fed to NMS
     nms_iou_threshold: float = 0.6
     max_detections: int = 128
     embed_dim: int = 128                 # ReID head output (0 disables)
+    reid_multilevel: bool = False        # ReID RoIAlign pools from the
+                                         # FPN level matched to box scale
+                                         # (roi_align_multilevel) instead of
+                                         # P3 only
     dtype: str = "bfloat16"              # compute dtype for conv trunk
 
 

@@ -166,22 +166,24 @@ class ResNet(nn.Module):
         return feats
 
 
-def ResNet18(dtype: Any = jnp.bfloat16) -> ResNet:
-    return ResNet(stage_sizes=(2, 2, 2, 2), width=64, block="basic", dtype=dtype)
+def ResNet18(dtype: Any = jnp.bfloat16, stem: str = "conv7") -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), width=64, block="basic",
+                  stem=stem, dtype=dtype)
 
 
-def ResNet34(dtype: Any = jnp.bfloat16) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), width=64, block="basic", dtype=dtype)
+def ResNet34(dtype: Any = jnp.bfloat16, stem: str = "conv7") -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), width=64, block="basic",
+                  stem=stem, dtype=dtype)
 
 
-def ResNet50(dtype: Any = jnp.bfloat16) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), width=64, dtype=dtype)
+def ResNet50(dtype: Any = jnp.bfloat16, stem: str = "conv7") -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), width=64, stem=stem, dtype=dtype)
 
 
-def ResNet101(dtype: Any = jnp.bfloat16) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 23, 3), width=64, dtype=dtype)
+def ResNet101(dtype: Any = jnp.bfloat16, stem: str = "conv7") -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3), width=64, stem=stem, dtype=dtype)
 
 
-def ResNet18Slim(dtype: Any = jnp.bfloat16) -> ResNet:
+def ResNet18Slim(dtype: Any = jnp.bfloat16, stem: str = "conv7") -> ResNet:
     """Small twin for tests (same structure, 1-block stages)."""
-    return ResNet(stage_sizes=(1, 1, 1, 1), width=16, dtype=dtype)
+    return ResNet(stage_sizes=(1, 1, 1, 1), width=16, stem=stem, dtype=dtype)

@@ -13,7 +13,13 @@ import jax.numpy as jnp
 
 from waymo_2d_tracking_tpu.config import TrackerConfig
 from waymo_2d_tracking_tpu.ops.iou import pairwise_iou
-from waymo_2d_tracking_tpu.types import Detections, TrackerState, boxes_cxcywh_to_xyxy
+from waymo_2d_tracking_tpu.tracker.kalman import gating_distance
+from waymo_2d_tracking_tpu.types import (
+    Detections,
+    TrackerState,
+    boxes_cxcywh_to_xyxy,
+    boxes_xyxy_to_cxcywh,
+)
 
 
 def cosine_distance(track_embeds: jnp.ndarray, det_embeds: jnp.ndarray) -> jnp.ndarray:
@@ -35,7 +41,11 @@ def stage1_cost(
     """Motion+appearance cost for active (tentative/confirmed) tracks.
 
     Returns (cost (S, D), forbid (S, D)). Gating: IoU below threshold,
-    class mismatch, and (if appearance is on) cosine distance above gate.
+    class mismatch, (if appearance is on) cosine distance above gate, and
+    (if ``motion_gate`` > 0) squared Mahalanobis distance of the detection
+    to the track's Kalman prediction above the chi-square gate
+    (DeepSORT-style motion gating — kills IoU-plausible but
+    dynamics-implausible matches during fast maneuvers).
     """
     track_boxes = boxes_cxcywh_to_xyxy(state.mean[:, :4])
     iou = pairwise_iou(track_boxes, dets.boxes)          # (S, D)
@@ -47,6 +57,11 @@ def stage1_cost(
         cos = cosine_distance(state.embed, dets.embeds)  # (S, D)
         cost = (1.0 - lam) * cost + lam * cos
         forbid = jnp.logical_or(forbid, cos > cfg.appearance_gate)
+
+    if cfg.motion_gate > 0.0:
+        meas = boxes_xyxy_to_cxcywh(dets.boxes)          # (D, 4)
+        d2 = gating_distance(state.mean, state.cov, meas)  # (S, D)
+        forbid = jnp.logical_or(forbid, d2 > cfg.motion_gate)
 
     forbid = jnp.logical_or(forbid, state.classes[:, None] != dets.classes[None, :])
     forbid = jnp.logical_or(forbid, jnp.logical_not(track_mask[:, None]))
