@@ -1,0 +1,109 @@
+"""Sharded per-segment inference fan-out on the product surface (round 2:
+VERDICT r1 next-step #6): ``run_segments_sharded`` / ``w2t track --sharded``
+runs groups of mesh-size segments in lockstep, one per device via shard_map,
+and must produce EXACTLY the same per-segment outputs as the single-device
+``run_segments`` path (embarrassing parallelism — zero collectives)."""
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from waymo_2d_tracking_tpu.config import (
+    Config,
+    DetectorConfig,
+    PipelineConfig,
+    TrackerConfig,
+)
+from waymo_2d_tracking_tpu.io_out import submission as subm
+from waymo_2d_tracking_tpu.pipeline.run import (
+    SegmentFrames,
+    SegmentPipeline,
+    run_segments,
+)
+from waymo_2d_tracking_tpu.pipeline.sharded import run_segments_sharded
+
+CFG = Config(
+    detector=DetectorConfig(
+        backbone="resnet18slim", image_size=(64, 96), fpn_channels=64,
+        head_depth=1, pre_nms_topk=32, max_detections=8, embed_dim=0,
+        dtype="float32", score_threshold=0.01,
+    ),
+    tracker=TrackerConfig(max_tracks=16, max_detections=8, embed_dim=0,
+                          score_threshold=0.0, birth_score_threshold=0.0,
+                          n_init=1),
+    pipeline=PipelineConfig(chunk_frames=4),
+)
+
+
+def make_segment(name, t, seed, h=96, w=128, cam=1):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 255, size=(t, h, w, 3), dtype=np.uint8)
+    return SegmentFrames(
+        context_name=name, camera_name=cam,
+        timestamps=[1000 * i for i in range(t)], frames=frames,
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return SegmentPipeline(CFG, rng=jax.random.PRNGKey(0))
+
+
+def test_sharded_fanout_matches_single_device(pipeline, tmp_path):
+    # 9 segments on an 8-device mesh -> one full group + one partial group;
+    # unequal lengths exercise the zero-pad + trim path
+    segs = [
+        make_segment(f"seg{i}", t=6 if i % 3 else 9, seed=i) for i in range(9)
+    ]
+    out_ref = str(tmp_path / "ref")
+    out_shd = str(tmp_path / "shd")
+    run_segments(pipeline, segs, out_ref)
+    stats = run_segments_sharded(pipeline, segs, out_shd)
+    assert len(stats) == 9
+
+    for seg in segs:
+        fname = f"{seg.context_name}_{seg.camera_name}.jsonl"
+        ref = subm.read_jsonl(os.path.join(out_ref, fname))
+        shd = subm.read_jsonl(os.path.join(out_shd, fname))
+        assert shd == ref, f"{fname}: sharded != single-device"
+
+    # manifest written with every key; rerun is a no-op
+    manifest = [
+        json.loads(l)
+        for l in open(os.path.join(out_shd, "manifest.jsonl"))
+    ]
+    assert {m["key"] for m in manifest} == {f"seg{i}/1" for i in range(9)}
+    assert run_segments_sharded(pipeline, segs, out_shd) == []
+
+
+def test_sharded_cli_flag(pipeline, tmp_path, capsys):
+    """`w2t track --sharded` end-to-end over a directory of segments."""
+    from waymo_2d_tracking_tpu import cli
+    from waymo_2d_tracking_tpu.data.waymo import materialize_directory_segment
+
+    data = str(tmp_path / "data")
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        frames = rng.integers(0, 255, size=(5, 64, 96, 3), dtype=np.uint8)
+        materialize_directory_segment(
+            data, f"ctx{i}", frames, [1000 * t for t in range(5)]
+        )
+    out = str(tmp_path / "out")
+    cli.main([
+        "track", "--segments-dir", data, "--out-dir", out, "--sharded",
+        "--set",
+        "detector.backbone=resnet18slim", "detector.image_size=[64,96]",
+        "detector.fpn_channels=64", "detector.head_depth=1",
+        "detector.pre_nms_topk=32", "detector.max_detections=8",
+        "detector.embed_dim=0", "detector.dtype=float32",
+        "detector.score_threshold=0.01",
+        "tracker.max_detections=8", "tracker.embed_dim=0", "tracker.n_init=1",
+        "pipeline.chunk_frames=4",
+    ])
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert len(printed) == 2
+    manifest = os.path.join(out, "manifest.jsonl")
+    assert os.path.exists(manifest)
+    assert len(open(manifest).read().strip().splitlines()) == 2

@@ -1,0 +1,189 @@
+"""Sharded per-segment inference fan-out (SURVEY.md §2.2 "per-segment
+sharding", component C28 on the product surface — round-2 deliverable).
+
+The reference parallelizes inference by running one python process per GPU
+over a slice of the segment list (SURVEY.md §2.2 [INFERRED]). TPU-native
+restatement: one process, one ``jax.sharding.Mesh``; G = mesh-size segments
+advance in lockstep, each device running the FULL local detect+track chunk
+step (preprocess -> detector forward -> Pallas postprocess -> tracker scan)
+on its own segment via ``shard_map``. Per-segment tracking is embarrassingly
+parallel, so the mapped body needs ZERO collectives — sharding here buys
+pure fan-out, exactly like the reference's process pool but with one jit and
+one host.
+
+Per-device shapes inside the body are identical to the single-chip chunk
+step, so every Pallas kernel runs locally with unsharded shapes (no
+partitioning rules needed).
+
+CLI: ``w2t track --sharded`` (cli.py).
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # jax < 0.8
+    from jax.experimental.shard_map import shard_map
+
+from waymo_2d_tracking_tpu.io_out import submission as subm
+from waymo_2d_tracking_tpu.parallel.sharding import DATA_AXIS
+from waymo_2d_tracking_tpu.pipeline.run import SegmentFrames, SegmentPipeline
+from waymo_2d_tracking_tpu.tracker import init_state
+
+
+class ShardedSegmentRunner:
+    """Runs groups of ``mesh size`` segments in lockstep, one per device."""
+
+    def __init__(self, pipeline: SegmentPipeline, mesh: Mesh):
+        self.pipeline = pipeline
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+        self._steps = {}  # src_hw -> jitted sharded step
+
+    def _sharded_step(self, src_hw):
+        if src_hw in self._steps:
+            return self._steps[src_hw]
+        impl = self.pipeline._chunk_step_impl
+        mesh = self.mesh
+
+        def body(params, states, frames):
+            # local block: leading segment axis of size 1 on each device
+            state1 = jax.tree.map(lambda x: x[0], states)
+            new_state, outputs, _scale = impl(params, state1, frames[0], src_hw)
+            expand = lambda x: x[None]  # noqa: E731
+            return jax.tree.map(expand, new_state), jax.tree.map(expand, outputs)
+
+        mapped = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_rep=False,
+        )
+        step = jax.jit(mapped, donate_argnums=(1,))
+        self._steps[src_hw] = step
+        return step
+
+    def run_group(self, group: List[SegmentFrames], out_dir: str) -> List[dict]:
+        """Track up to ``n_shards`` segments in lockstep; writes per-segment
+        JSONL files. Shorter segments are zero-padded to the group max and
+        their padded-frame outputs trimmed on the host."""
+        cfg = self.pipeline.cfg
+        chunk = cfg.pipeline.chunk_frames
+        g = self.n_shards
+        assert len(group) <= g
+        pad_group = list(group) + [None] * (g - len(group))
+        t_max = max(s.num_frames for s in group)
+
+        iters = [
+            s.chunk_iter(chunk) if s is not None else None for s in pad_group
+        ]
+        src_hw = None
+        batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        states = jax.device_put(
+            jax.tree.map(lambda x: jnp.stack([x] * g), init_state(cfg.tracker)),
+            batch_sharding,
+        )
+        outputs_host = []
+        for start in range(0, t_max, chunk):
+            blocks: List = [None] * g
+            for idx, (s, it) in enumerate(zip(pad_group, iters)):
+                if it is not None and start < s.num_frames:
+                    blocks[idx] = next(it)
+            # start < t_max guarantees at least one live segment in the group
+            ref = next(b for b in blocks if b is not None)
+            blocks = [b if b is not None else np.zeros_like(ref) for b in blocks]
+            frames = np.stack(blocks)                       # (G, chunk, H, W, 3)
+            if src_hw is None:
+                src_hw = tuple(frames.shape[2:4])
+            dev_frames = jax.device_put(frames, batch_sharding)
+            step = self._sharded_step(src_hw)
+            states, outputs = step(self.pipeline.params, states, dev_frames)
+            outputs_host.append(jax.device_get(outputs))
+        for it in iters:
+            if it is not None:
+                it.close()
+
+        # (G, T_pad, ...) per-segment trim + records
+        stacked = jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=1), *outputs_host
+        )
+        stats = []
+        for i, seg in enumerate(group):
+            seg_out = jax.tree.map(lambda x: x[i][: seg.num_frames], stacked)
+            records = subm.records_from_track_outputs(
+                seg_out, seg.context_name, seg.timestamps, seg.camera_name,
+                scale=self._scale(seg, cfg),
+            )
+            seg_file = os.path.join(
+                out_dir, f"{seg.context_name}_{seg.camera_name}.jsonl"
+            )
+            subm.write_jsonl(seg_file, records)
+            stats.append({
+                "context": seg.context_name,
+                "camera": seg.camera_name,
+                "frames": seg.num_frames,
+                "tracks": len({r.object_id for r in records}),
+                "records": len(records),
+                "shard": i % self.n_shards,
+            })
+        return stats
+
+    def _scale(self, seg: SegmentFrames, cfg) -> float:
+        """Letterbox scale (same rule as data.preprocess.letterbox_batch)."""
+        if seg.frames is not None:
+            hs, ws = seg.frames.shape[1:3]
+        else:
+            it = seg.chunk_iter(1)
+            try:
+                hs, ws = next(it).shape[1:3]
+            finally:
+                it.close()
+        hd, wd = cfg.detector.image_size
+        return min(hd / hs, wd / ws)
+
+
+def run_segments_sharded(
+    pipeline: SegmentPipeline,
+    segments: Iterable[SegmentFrames],
+    out_dir: str,
+    mesh: Optional[Mesh] = None,
+) -> List[dict]:
+    """Manifest-resumable sharded fan-out: groups of mesh-size segments run
+    in lockstep, one per device (same manifest contract as run_segments)."""
+    from waymo_2d_tracking_tpu.parallel.sharding import make_mesh
+
+    mesh = mesh or make_mesh()
+    runner = ShardedSegmentRunner(pipeline, mesh)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    done = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            for line in f:
+                if line.strip():
+                    done.add(json.loads(line)["key"])
+
+    todo = [
+        s for s in segments
+        if f"{s.context_name}/{s.camera_name}" not in done
+    ]
+    all_stats = []
+    g = runner.n_shards
+    for i in range(0, len(todo), g):
+        group = todo[i : i + g]
+        stats = runner.run_group(group, out_dir)
+        with open(manifest_path, "a") as f:
+            for seg, st in zip(group, stats):
+                key = f"{seg.context_name}/{seg.camera_name}"
+                f.write(json.dumps({"key": key, **st}) + "\n")
+        all_stats.extend(stats)
+    return all_stats
