@@ -144,3 +144,35 @@ def test_track_multicam_cli(tmp_path):
     ])
     assert os.path.exists(os.path.join(out_dir, "segM_1.jsonl"))
     assert os.path.exists(os.path.join(out_dir, "segM_2.jsonl"))
+
+
+def test_draw_renders_frames(tmp_path, capsys):
+    """`w2t draw` writes one annotated JPEG per frame with boxes burned in."""
+    import cv2
+    import json as _json
+
+    from waymo_2d_tracking_tpu.data.waymo import materialize_directory_segment
+
+    rng = np.random.default_rng(0)
+    frames = np.full((4, 64, 96, 3), 32, np.uint8)
+    data = str(tmp_path / "data")
+    materialize_directory_segment(data, "ctxv", frames,
+                                  [1000 * t for t in range(4)])
+    recs = [
+        subm.TrackRecord.from_xyxy("ctxv", 1000 * t, 1, f"id{k}", 1,
+                                   np.array([10 + 5 * k, 10, 40 + 5 * k, 40]),
+                                   0.9)
+        for t in range(4) for k in range(2)
+    ]
+    tracks = str(tmp_path / "tracks.jsonl")
+    subm.write_jsonl(tracks, recs)
+    out = str(tmp_path / "viz")
+    cli.main(["draw", "--tracks", tracks, "--segments-dir", data,
+              "--out-dir", out])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["frames"] == 4
+    files = sorted(os.listdir(out))
+    assert len(files) == 4
+    img = cv2.imread(os.path.join(out, files[0]))
+    # boxes were drawn: annotated image differs from the flat source
+    assert img is not None and img.std() > 5.0

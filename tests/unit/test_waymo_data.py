@@ -104,3 +104,46 @@ def test_coco_conversion_and_iterator(seg_dir, tmp_path):
     assert bool(batch["gt_valid"].any())
     # boxes scaled into the letterboxed frame
     assert float(batch["gt_boxes"].max()) <= 48.0
+
+
+def test_augmentation_geometry_tracks_pixels(tmp_path):
+    """Round-2 augmentation (scale jitter + random place/crop + flip + color
+    jitter): the transformed GT box must still cover the bright planted
+    object — brighter inside the box than outside for every sample."""
+    frames = np.full((2, 64, 96, 3), 20, np.uint8)
+    frames[:, 24:40, 30:60] = 230  # bright rect at xyxy (30, 24, 60, 40)
+    labels = [
+        subm.TrackRecord.from_xyxy("segB", 1000 * t, 1, "obj0", 1,
+                                   (30, 24, 60, 40), 1.0)
+        for t in range(2)
+    ]
+    waymo.materialize_directory_segment(
+        str(tmp_path / "d"), "segB", frames, [0, 1000], camera_id=1,
+        labels=labels, jpeg_quality=98,
+    )
+    out = str(tmp_path / "coco")
+    convert_segments_to_coco(str(tmp_path / "d"), out)
+
+    it = coco_batch_iterator(
+        out, batch_size=4, image_hw=(48, 64), seed=3, flip_augment=True,
+        scale_range=(0.6, 1.4), color_jitter=0.3,
+    )
+    checked = 0
+    for _ in range(4):
+        batch = next(it)
+        imgs = np.asarray(batch["images"]).mean(axis=-1)   # affine-normalized
+        for n in range(imgs.shape[0]):
+            if not bool(batch["gt_valid"][n, 0]):
+                continue  # object cropped away entirely — allowed
+            x1, y1, x2, y2 = np.asarray(batch["gt_boxes"][n, 0])
+            xi1, yi1 = int(np.floor(x1)) + 1, int(np.floor(y1)) + 1
+            xi2, yi2 = int(np.ceil(x2)) - 1, int(np.ceil(y2)) - 1
+            if xi2 - xi1 < 3 or yi2 - yi1 < 3:
+                continue
+            inside = imgs[n, yi1:yi2, xi1:xi2].mean()
+            mask = np.ones_like(imgs[n], bool)
+            mask[yi1:yi2, xi1:xi2] = False
+            outside = imgs[n][mask].mean()
+            assert inside > outside, (n, (x1, y1, x2, y2), inside, outside)
+            checked += 1
+    assert checked >= 6, "augmentation cropped away almost every sample"

@@ -221,7 +221,10 @@ def cmd_train(args):
         from waymo_2d_tracking_tpu.data.coco import coco_batch_iterator
 
         data = coco_batch_iterator(
-            args.data_dir, cfg.train.batch_size, cfg.detector.image_size
+            args.data_dir, cfg.train.batch_size, cfg.detector.image_size,
+            flip_augment=cfg.train.aug_flip,
+            scale_range=tuple(cfg.train.aug_scale_range),
+            color_jitter=cfg.train.aug_color_jitter,
         )
     else:  # synthetic smoke-training
         rng = np.random.default_rng(args.seed)
@@ -238,6 +241,21 @@ def cmd_train(args):
         checkpoint_every=cfg.train.checkpoint_every,
     )
     trainer.save_checkpoint(state)
+
+
+def cmd_draw(args):
+    """Render track boxes onto frames (per-frame JPEGs) for debugging."""
+    from waymo_2d_tracking_tpu.data.waymo import iter_segments
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+    from waymo_2d_tracking_tpu.utils.viz import render_segment
+
+    cfg = _load_config(args)
+    records = subm.read_jsonl(args.tracks)
+    total = 0
+    for seg in iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras):
+        total += render_segment(seg, records, args.out_dir,
+                                max_frames=args.max_frames)
+    print(json.dumps({"frames": total, "out": args.out_dir}))
 
 
 def cmd_import_weights(args):
@@ -324,6 +342,14 @@ def build_parser():
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--sharded", action="store_true")
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("draw", help="render track boxes onto frames (debug)")
+    common(sp)
+    sp.add_argument("--tracks", required=True, help="tracks JSONL")
+    sp.add_argument("--segments-dir", required=True)
+    sp.add_argument("--out-dir", default="viz")
+    sp.add_argument("--max-frames", type=int, default=None)
+    sp.set_defaults(fn=cmd_draw)
 
     sp = sub.add_parser("import-weights",
                         help="torch .pth checkpoint -> flax/orbax params")

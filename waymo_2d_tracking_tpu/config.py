@@ -127,6 +127,10 @@ class TrainConfig:
     focal_gamma: float = 2.0
     checkpoint_every: int = 1000
     checkpoint_dir: str = "/tmp/w2t_ckpt"
+    # input augmentation (data/coco.py iterator)
+    aug_flip: bool = True
+    aug_scale_range: Tuple[float, float] = (0.8, 1.25)  # multi-scale jitter
+    aug_color_jitter: float = 0.2   # brightness/contrast/saturation +-20%
 
 
 @dataclasses.dataclass(frozen=True)
