@@ -243,6 +243,20 @@ def cmd_train(args):
     trainer.save_checkpoint(state)
 
 
+def cmd_link(args):
+    """Cross-camera identity linking over produced track files (+galleries)."""
+    from waymo_2d_tracking_tpu.pipeline.link import link_tracks
+
+    mesh = None
+    if args.sharded:
+        from waymo_2d_tracking_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh()
+    report = link_tracks(args.out_dir, linked_dir=args.linked_dir,
+                         threshold=args.threshold, mesh=mesh)
+    print(json.dumps(report))
+
+
 def cmd_draw(args):
     """Render track boxes onto frames (per-frame JPEGs) for debugging."""
     from waymo_2d_tracking_tpu.data.waymo import iter_segments
@@ -342,6 +356,17 @@ def build_parser():
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--sharded", action="store_true")
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("link",
+                        help="unify track ids across cameras of a context "
+                             "(ring-sharded gallery scoring on the mesh)")
+    sp.add_argument("--out-dir", required=True,
+                    help="track output dir (with .gallery.npz sidecars)")
+    sp.add_argument("--linked-dir", default=None)
+    sp.add_argument("--threshold", type=float, default=0.6)
+    sp.add_argument("--sharded", action="store_true",
+                    help="score via the ppermute ring over the device mesh")
+    sp.set_defaults(fn=cmd_link)
 
     sp = sub.add_parser("draw", help="render track boxes onto frames (debug)")
     common(sp)

@@ -165,6 +165,7 @@ class SegmentPipeline:
                 it.close()  # runs chunk_iter's finally -> decoder.close()
 
         state = init_state(cfg.tracker)
+        self.last_state = None   # final track table (cross-camera linking)
         outputs_host: List = []
         scale = 1.0
         t0 = time.perf_counter()
@@ -179,6 +180,8 @@ class SegmentPipeline:
                     self.params, state, dev_chunk, src_hw
                 )
                 outputs_host.append(jax.device_get(outputs))
+        if not detections_only:
+            self.last_state = jax.device_get(state)
         wall = time.perf_counter() - t0
 
         # concat chunks, trim padding frames
@@ -246,6 +249,16 @@ def run_segments(
             out_dir, f"{seg.context_name}_{seg.camera_name}.jsonl"
         )
         subm.write_jsonl(seg_file, records)
+        # gallery sidecar: final track-table embeddings for cross-camera /
+        # long-horizon re-ID linking (pipeline/link.py, `w2t link`)
+        state = getattr(pipeline, "last_state", None)
+        if state is not None and state.embed.shape[-1] > 1:
+            np.savez(
+                seg_file[: -len(".jsonl")] + ".gallery.npz",
+                track_id=np.asarray(state.track_id),
+                status=np.asarray(state.status),
+                embed=np.asarray(state.embed, np.float32),
+            )
         with open(manifest_path, "a") as f:
             f.write(json.dumps({"key": key, **stats}) + "\n")
         all_stats.append(stats)
