@@ -1,0 +1,163 @@
+"""Analytic FLOPs budget for the detector (docs/DESIGN.md roofline).
+
+VERDICT round 1 asked for the explicit arithmetic: is 1500 fps/chip even
+under the bf16 roofline for this architecture, and at what architecture /
+resolution point does it become achievable? This script mirrors the model
+structure in models/{resnet,fpn,heads,reid}.py layer by layer (counting
+2*MACs as FLOPs) and prints GFLOP/frame per component plus roofline fps at
+
+  - the measured v5e bf16 matmul rate (123 TFLOP/s, DESIGN.md §3), and
+  - the measured XLA conv efficiency on this chip (~35% of matmul rate,
+    DESIGN.md §5 item 1 int8 measurement: a 3x3x256x256 conv ran at
+    ~43 TFLOP/s equivalent).
+
+Run: python tools/flops_budget.py            (prints the DESIGN.md table)
+"""
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+sys.path.insert(0, ".")
+
+from waymo_2d_tracking_tpu.config import DetectorConfig  # noqa: E402
+
+MATMUL_TFLOPS = 123.0   # measured bf16 matmul rate, v5e single chip
+CONV_EFF = 0.35         # measured XLA conv efficiency vs matmul rate
+
+
+def conv_flops(h, w, cin, cout, k=3, stride=1):
+    """FLOPs (2*MACs) of a k x k conv producing (h/stride, w/stride, cout)."""
+    return 2 * (h // stride) * (w // stride) * k * k * cin * cout
+
+
+def backbone_flops(h, w, stem="conv7", stage_sizes=(3, 4, 6, 3), width=64,
+                   block="bottleneck"):
+    """ResNet backbone (models/resnet.py), bottleneck (50/101) or basic (18/34)."""
+    f = 0
+    if stem == "s2d":
+        # space-to-depth 2x2 then 4x4/s1 conv at half res: same arithmetic
+        # work as conv7 within ~2.6% (16*12 vs 49*3 taps*cin per output)
+        f += conv_flops(h // 2, w // 2, 12, width, k=4, stride=1)
+    else:
+        f += conv_flops(h, w, 3, width, k=7, stride=2)
+    h, w = h // 2, w // 2      # stem output
+    h, w = h // 2, w // 2      # maxpool
+    cin = width
+    expansion = 4 if block == "bottleneck" else 1
+    for stage, n_blocks in enumerate(stage_sizes):
+        wdt = width * (2 ** stage)
+        for b in range(n_blocks):
+            stride = 2 if (b == 0 and stage > 0) else 1
+            h2, w2 = h // stride, w // stride
+            if block == "bottleneck":
+                f += conv_flops(h, w, cin, wdt, k=1)              # conv1
+                f += conv_flops(h, w, wdt, wdt, k=3, stride=stride)
+                f += conv_flops(h2, w2, wdt, 4 * wdt, k=1)        # conv3
+            else:
+                f += conv_flops(h, w, cin, wdt, k=3, stride=stride)
+                f += conv_flops(h2, w2, wdt, wdt, k=3)
+            if b == 0 and (stride != 1 or cin != expansion * wdt):
+                f += conv_flops(h, w, cin, expansion * wdt, k=1, stride=stride)
+            h, w, cin = h2, w2, expansion * wdt
+    return f
+
+
+def level_hw(h, w, lvl):
+    return h // (2 ** lvl), w // (2 ** lvl)
+
+
+def fpn_flops(h, w, ch, levels):
+    """models/fpn.py: laterals C3..C5, smooth 3x3, P6/P7 stride-2 convs."""
+    c_ch = {3: 512, 4: 1024, 5: 2048}
+    f = 0
+    for lvl in (3, 4, 5):
+        lh, lw = level_hw(h, w, lvl)
+        f += conv_flops(lh, lw, c_ch[lvl], ch, k=1)   # lateral
+        f += conv_flops(lh, lw, ch, ch, k=3)          # smooth
+    if 6 in levels:
+        lh, lw = level_hw(h, w, 5)
+        f += conv_flops(lh, lw, ch, ch, k=3, stride=2)
+    if 7 in levels:
+        lh, lw = level_hw(h, w, 6)
+        f += conv_flops(lh, lw, ch, ch, k=3, stride=2)
+    return f
+
+
+def heads_flops(h, w, fpn_ch, head_ch, depth, levels, num_classes):
+    """models/heads.py: two towers (cls/box) + 3 final 3x3 convs, all levels."""
+    f = 0
+    for lvl in levels:
+        lh, lw = level_hw(h, w, lvl)
+        for _tower in range(2):
+            cin = fpn_ch
+            for _ in range(depth):
+                f += conv_flops(lh, lw, cin, head_ch, k=3)
+                cin = head_ch
+        f += conv_flops(lh, lw, head_ch, num_classes, k=3)  # cls
+        f += conv_flops(lh, lw, head_ch, 4, k=3)            # box
+        f += conv_flops(lh, lw, head_ch, 1, k=3)            # ctr
+    return f
+
+
+def reid_flops(h, w, fpn_ch, max_dets, pool=7):
+    """RoIAlign separable matmuls + ReID head (2 convs @ 7x7 + proj) per det."""
+    lh, lw = level_hw(h, w, 3)
+    per_det = 2 * pool * lh * lw * fpn_ch          # (P,H)@(H,W*C)
+    per_det += 2 * pool * lw * pool * fpn_ch       # (P,W) reduce
+    per_det += conv_flops(pool, pool, fpn_ch, fpn_ch, k=3) * 2  # reid convs
+    per_det += 2 * fpn_ch * 128                    # proj
+    return per_det * max_dets
+
+
+def budget(cfg: DetectorConfig, max_dets=128):
+    h, w = cfg.image_size
+    head_ch = cfg.head_channels or cfg.fpn_channels
+    rows = {
+        "backbone": backbone_flops(h, w, stem=cfg.stem),
+        "fpn": fpn_flops(h, w, cfg.fpn_channels, cfg.fpn_levels),
+        "heads": heads_flops(h, w, cfg.fpn_channels, head_ch,
+                             cfg.head_depth, cfg.fpn_levels, cfg.num_classes),
+        "reid+roi": reid_flops(h, w, cfg.fpn_channels, max_dets)
+        if cfg.embed_dim else 0,
+    }
+    rows["total"] = sum(rows.values())
+    return rows
+
+
+def main():
+    base = DetectorConfig()
+    variants = {
+        "r1 default (conv7, h256, P3-7, 640x960)": base,
+        "s2d stem": dataclasses.replace(base, stem="s2d"),
+        "s2d + heads 128": dataclasses.replace(base, stem="s2d", head_channels=128),
+        "s2d + heads 128 + no P7": dataclasses.replace(
+            base, stem="s2d", head_channels=128, fpn_levels=(3, 4, 5, 6)),
+        "s2d + heads 128 d3 + no P7": dataclasses.replace(
+            base, stem="s2d", head_channels=128, head_depth=3,
+            fpn_levels=(3, 4, 5, 6)),
+        "above @ 512x768": dataclasses.replace(
+            base, stem="s2d", head_channels=128, head_depth=3,
+            fpn_levels=(3, 4, 5, 6), image_size=(512, 768)),
+        "above + resnet34": dataclasses.replace(
+            base, stem="s2d", backbone="resnet34", head_channels=128,
+            head_depth=3, fpn_levels=(3, 4, 5, 6), image_size=(512, 768)),
+    }
+    hdr = f"{'variant':<38} {'bb':>6} {'fpn':>6} {'heads':>6} {'reid':>6} {'total':>7} {'fps@123T':>8} {'fps@43T':>8}"
+    print(hdr)
+    print("-" * len(hdr))
+    for name, cfg in variants.items():
+        r = budget(cfg)
+        g = {k: v / 1e9 for k, v in r.items()}
+        fps_mm = MATMUL_TFLOPS * 1e3 / g["total"]
+        fps_conv = MATMUL_TFLOPS * CONV_EFF * 1e3 / g["total"]
+        print(f"{name:<38} {g['backbone']:6.1f} {g['fpn']:6.1f} {g['heads']:6.1f} "
+              f"{g['reid+roi']:6.1f} {g['total']:7.1f} {fps_mm:8.0f} {fps_conv:8.0f}")
+    print()
+    print("fps@123T = absolute bf16 roofline (every FLOP at matmul peak);")
+    print("fps@43T  = at the measured ~35% XLA conv efficiency on this v5e.")
+    print("1500 fps needs total <= 82 GFLOP/frame at peak, <= 29 at conv rate.")
+
+
+if __name__ == "__main__":
+    main()

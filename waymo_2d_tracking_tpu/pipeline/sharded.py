@@ -30,8 +30,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:
     from jax import shard_map
+    _CHECK_KW = "check_vma"     # jax >= 0.8 renamed check_rep
 except ImportError:  # jax < 0.8
     from jax.experimental.shard_map import shard_map
+    _CHECK_KW = "check_rep"
 
 from waymo_2d_tracking_tpu.io_out import submission as subm
 from waymo_2d_tracking_tpu.parallel.sharding import DATA_AXIS
@@ -66,7 +68,7 @@ class ShardedSegmentRunner:
             mesh=mesh,
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-            check_rep=False,
+            **{_CHECK_KW: False},
         )
         step = jax.jit(mapped, donate_argnums=(1,))
         self._steps[src_hw] = step
