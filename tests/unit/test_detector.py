@@ -295,3 +295,24 @@ def test_detector_topk_method_approx_smoke():
     images = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 192, 3))
     dets = runner.detect(params, images)
     assert np.asarray(dets.scores).shape == (1, cfg.max_detections)
+
+
+def test_detector_reid_channels_slim_tower():
+    """reid_channels thins the ReID tower (round-2 perf lever: at 256 the
+    two 7x7 ReID convs are ~14 GFLOP/frame for 128 dets; see
+    tools/flops_budget.py). 0 keeps the fpn_channels default."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SLIM, reid_channels=32)
+    runner = DetectorRunner(cfg, interpret=True)
+    params = runner.init_params(jax.random.PRNGKey(0))
+    k0 = params["params"]["reid"]["conv0"]["kernel"]
+    assert k0.shape[-2:] == (SLIM.fpn_channels, 32)   # in from FPN, out slim
+    k1 = params["params"]["reid"]["conv1"]["kernel"]
+    assert k1.shape[-2:] == (32, 32)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 192, 3))
+    dets = runner.detect(params, images)
+    v = np.asarray(dets.valid)
+    if v.any():
+        norms = np.linalg.norm(np.asarray(dets.embeds)[v], axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)

@@ -67,9 +67,9 @@ def level_hw(h, w, lvl):
     return h // (2 ** lvl), w // (2 ** lvl)
 
 
-def fpn_flops(h, w, ch, levels):
+def fpn_flops(h, w, ch, levels, expansion=4):
     """models/fpn.py: laterals C3..C5, smooth 3x3, P6/P7 stride-2 convs."""
-    c_ch = {3: 512, 4: 1024, 5: 2048}
+    c_ch = {3: 128 * expansion, 4: 256 * expansion, 5: 512 * expansion}
     f = 0
     for lvl in (3, 4, 5):
         lh, lw = level_hw(h, w, lvl)
@@ -100,25 +100,41 @@ def heads_flops(h, w, fpn_ch, head_ch, depth, levels, num_classes):
     return f
 
 
-def reid_flops(h, w, fpn_ch, max_dets, pool=7):
+def reid_flops(h, w, fpn_ch, max_dets, pool=7, reid_ch=None):
     """RoIAlign separable matmuls + ReID head (2 convs @ 7x7 + proj) per det."""
+    reid_ch = reid_ch or fpn_ch
     lh, lw = level_hw(h, w, 3)
     per_det = 2 * pool * lh * lw * fpn_ch          # (P,H)@(H,W*C)
     per_det += 2 * pool * lw * pool * fpn_ch       # (P,W) reduce
-    per_det += conv_flops(pool, pool, fpn_ch, fpn_ch, k=3) * 2  # reid convs
-    per_det += 2 * fpn_ch * 128                    # proj
+    per_det += conv_flops(pool, pool, fpn_ch, reid_ch, k=3)
+    per_det += conv_flops(pool, pool, reid_ch, reid_ch, k=3)
+    per_det += 2 * reid_ch * 128                   # proj
     return per_det * max_dets
+
+
+_BACKBONES = {
+    # name -> (stage_sizes, block)   (mirrors models/resnet.py factories)
+    "resnet18": ((2, 2, 2, 2), "basic"),
+    "resnet34": ((3, 4, 6, 3), "basic"),
+    "resnet50": ((3, 4, 6, 3), "bottleneck"),
+    "resnet101": ((3, 4, 23, 3), "bottleneck"),
+}
 
 
 def budget(cfg: DetectorConfig, max_dets=128):
     h, w = cfg.image_size
     head_ch = cfg.head_channels or cfg.fpn_channels
+    stage_sizes, block = _BACKBONES[cfg.backbone]
+    expansion = 4 if block == "bottleneck" else 1
     rows = {
-        "backbone": backbone_flops(h, w, stem=cfg.stem),
-        "fpn": fpn_flops(h, w, cfg.fpn_channels, cfg.fpn_levels),
+        "backbone": backbone_flops(h, w, stem=cfg.stem,
+                                   stage_sizes=stage_sizes, block=block),
+        "fpn": fpn_flops(h, w, cfg.fpn_channels, cfg.fpn_levels,
+                         expansion=expansion),
         "heads": heads_flops(h, w, cfg.fpn_channels, head_ch,
                              cfg.head_depth, cfg.fpn_levels, cfg.num_classes),
-        "reid+roi": reid_flops(h, w, cfg.fpn_channels, max_dets)
+        "reid+roi": reid_flops(h, w, cfg.fpn_channels, max_dets,
+                               reid_ch=cfg.reid_channels or None)
         if cfg.embed_dim else 0,
     }
     rows["total"] = sum(rows.values())
@@ -142,6 +158,12 @@ def main():
         "above + resnet34": dataclasses.replace(
             base, stem="s2d", backbone="resnet34", head_channels=128,
             head_depth=3, fpn_levels=(3, 4, 5, 6), image_size=(512, 768)),
+        "resnet18 slim @ 512x768": dataclasses.replace(
+            base, stem="s2d", backbone="resnet18", head_channels=128,
+            head_depth=2, fpn_levels=(3, 4, 5, 6), image_size=(512, 768)),
+        "resnet34 s2d h128 d3 noP7 @ 640x960": dataclasses.replace(
+            base, stem="s2d", backbone="resnet34", head_channels=128,
+            head_depth=3, fpn_levels=(3, 4, 5, 6)),
     }
     hdr = f"{'variant':<38} {'bb':>6} {'fpn':>6} {'heads':>6} {'reid':>6} {'total':>7} {'fps@123T':>8} {'fps@43T':>8}"
     print(hdr)

@@ -95,6 +95,10 @@ class DetectorConfig:
     nms_iou_threshold: float = 0.6
     max_detections: int = 128
     embed_dim: int = 128                 # ReID head output (0 disables)
+    reid_channels: int = 0    # ReID tower conv width; 0 = same as
+                              # fpn_channels. At 256 the two 7x7 ReID convs
+                              # cost ~14 GFLOP/frame for 128 detections
+                              # (tools/flops_budget.py) — 128 quarters that
     reid_multilevel: bool = False        # ReID RoIAlign pools from the
                                          # FPN level matched to box scale
                                          # (roi_align_multilevel) instead of

@@ -64,8 +64,11 @@ class Detector(nn.Module):
             dtype=dtype,
         )
         if self.cfg.embed_dim > 0:
-            self.reid = ReIDHead(embed_dim=self.cfg.embed_dim,
-                                 channels=self.cfg.fpn_channels, dtype=dtype)
+            self.reid = ReIDHead(
+                embed_dim=self.cfg.embed_dim,
+                channels=self.cfg.reid_channels or self.cfg.fpn_channels,
+                dtype=dtype,
+            )
 
     def __call__(self, images, train: bool = False):
         c_feats = self.backbone(images, train=train)

@@ -17,7 +17,12 @@ def run_detect_track_bench(
     repeats: int = 5,
     image_hw=(640, 960),
     chunk: int = 16,
+    detector_overrides: dict | None = None,
+    tta: bool = False,
+    metric: str = "detect_track_frames_per_sec_per_chip",
 ):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -30,11 +35,20 @@ def run_detect_track_bench(
     )
     from waymo_2d_tracking_tpu.pipeline.run import SegmentFrames, SegmentPipeline
 
+    det_cfg = DetectorConfig(image_size=image_hw)
+    if detector_overrides:
+        det_cfg = dataclasses.replace(det_cfg, **detector_overrides)
+    embed_dim = det_cfg.embed_dim
     cfg = Config(
-        detector=DetectorConfig(image_size=image_hw),
-        tracker=TrackerConfig(max_tracks=64, max_detections=128, embed_dim=128,
-                              appearance_weight=0.3),
-        pipeline=PipelineConfig(chunk_frames=chunk),
+        detector=det_cfg,
+        tracker=TrackerConfig(max_tracks=64, max_detections=128,
+                              embed_dim=embed_dim,
+                              appearance_weight=0.3 if embed_dim else 0.0),
+        pipeline=PipelineConfig(
+            chunk_frames=chunk,
+            tta_flip=tta,
+            tta_scales=(1.0, 0.75) if tta else (1.0,),
+        ),
     )
     pipeline = SegmentPipeline(cfg, rng=jax.random.PRNGKey(0))
 
@@ -68,7 +82,7 @@ def run_detect_track_bench(
     dt = (time.perf_counter() - t0) / repeats
     fps = num_frames / dt
     return {
-        "metric": "detect_track_frames_per_sec_per_chip",
+        "metric": metric,
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
