@@ -143,3 +143,72 @@ def test_pallas_kernel_matches_xla_path():
             got = total_cost(cost, rtc)
             n = 128  # pallas pads to 128
             assert got <= opt + n * EPS_MIN + 1e-4, (name, got, opt)
+
+
+# ----------------------------------------------------------- greedy matching
+
+def _greedy_oracle(cost, valid):
+    """Pure-numpy greedy lowest-cost-first matching."""
+    work = np.where(valid, cost.astype(np.float64), np.inf)
+    r, c = cost.shape
+    rtc = np.full(r, -1, np.int64)
+    ctr = np.full(c, -1, np.int64)
+    for _ in range(min(r, c)):
+        if not np.isfinite(work).any():
+            break
+        i, j = np.unravel_index(np.argmin(work), work.shape)
+        rtc[i], ctr[j] = j, i
+        work[i, :] = np.inf
+        work[:, j] = np.inf
+    return rtc, ctr
+
+
+def test_greedy_matches_numpy_oracle():
+    from waymo_2d_tracking_tpu.ops.assign import greedy_assign
+
+    rng = np.random.default_rng(7)
+    for r, c, p_forbid in ((8, 8, 0.0), (12, 5, 0.5), (5, 12, 0.5),
+                           (32, 32, 0.8), (16, 16, 1.0)):
+        cost = rng.uniform(0, 3, (r, c)).astype(np.float32)
+        row_mask = rng.uniform(size=r) < 0.8
+        col_mask = rng.uniform(size=c) < 0.8
+        forbid = rng.uniform(size=(r, c)) < p_forbid
+        valid = row_mask[:, None] & col_mask[None, :] & ~forbid
+        want_rtc, want_ctr = _greedy_oracle(cost, valid)
+        got_rtc, got_ctr = greedy_assign(
+            jnp.asarray(cost), jnp.asarray(row_mask), jnp.asarray(col_mask),
+            jnp.asarray(forbid),
+        )
+        np.testing.assert_array_equal(np.asarray(got_rtc), want_rtc)
+        np.testing.assert_array_equal(np.asarray(got_ctr), want_ctr)
+
+
+def test_greedy_tracker_quality_close_to_auction():
+    """Tracker with assignment='greedy' must stay within a small MOTA/IDF1
+    delta of the auction on the synthetic golden clip (the speed presets
+    trade optimal assignment for per-frame cost; the trade must be small)."""
+    import dataclasses
+
+    from waymo_2d_tracking_tpu.config import TrackerConfig
+    from waymo_2d_tracking_tpu.data.synthetic import (
+        SyntheticClipConfig, generate_clip,
+    )
+    from waymo_2d_tracking_tpu.eval.mot import (
+        evaluate_mot, gt_to_frames, track_outputs_to_frames,
+    )
+    from waymo_2d_tracking_tpu.tracker import Tracker
+
+    clip = SyntheticClipConfig(num_frames=120, seed=3)
+    dets, gt = generate_clip(clip)
+    base = TrackerConfig(max_tracks=64, max_detections=64, embed_dim=128,
+                         appearance_weight=0.3)
+    res = {}
+    for method in ("auction", "greedy"):
+        tr = Tracker(dataclasses.replace(base, assignment=method))
+        _state, outs = tr.run(dets)
+        res[method] = evaluate_mot(
+            gt_to_frames(gt), track_outputs_to_frames(outs, clip.num_frames)
+        )
+    a, g = res["auction"], res["greedy"]
+    assert g.mota >= a.mota - 0.02, (g.as_dict(), a.as_dict())
+    assert g.idf1 >= a.idf1 - 0.03, (g.as_dict(), a.as_dict())

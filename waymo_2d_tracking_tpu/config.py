@@ -53,6 +53,13 @@ class TrackerConfig:
 
     kalman: KalmanConfig = dataclasses.field(default_factory=KalmanConfig)
 
+    assignment: str = "auction"  # 'auction': eps-scaled Pallas auction,
+                                 # scipy-equal Hungarian semantics (SORT
+                                 # parity, the default). 'greedy': lowest-
+                                 # cost-first matching — not optimal, but
+                                 # several times cheaper per frame; used by
+                                 # speed presets where the tracker step is
+                                 # the bottleneck (docs/DESIGN.md §5)
     # Auction assignment (component C14); eps starts at the dynamic benefit
     # range and scales down geometrically to eps_min.
     auction_eps_scale: float = 0.2    # eps <- eps * scale per scaling phase

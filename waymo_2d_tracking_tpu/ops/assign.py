@@ -100,12 +100,23 @@ def _round_up_128(x: int) -> int:
 
 
 def _auction_kernel(eps0_ref, benefit_ref, out_ref, *, eps_scale: float,
-                    eps_min: float, max_iters: int, n: int):
+                    eps_min: float, max_iters: int, n: int, r: int):
     """Whole eps-scaled auction in one Pallas program.
 
     State lives as f32 row/column vectors ((1,n) col-indexed, (n,1)
     row-indexed); indices are f32 (exact below 2^24); argmax/argmin are
     min-index-of-max reductions (Mosaic-friendly, no i1 reshapes).
+
+    ``r`` restricts bidding to the first r rows. NOTE: r < n is UNSOUND with
+    the phase-reset eps-scaling used here — padding rows are load-bearing for
+    correctness: each phase reset empties the assignment while keeping
+    prices, and a column whose stale price exceeds every live row's
+    willingness would be orphaned forever; the padding rows (indifferent
+    across all columns) always bid on the cheapest column and therefore
+    reclaim orphans. Verified empirically: restricting bidding to real rows
+    sent every row to padding columns on rectangular problems. All callers
+    pass r = n; the parameter stays for a future asymmetric-auction variant
+    (Bertsekas' forward-reverse) that would make r < n sound.
     """
     b = benefit_ref[:]                                             # (n, n)
     eps0 = eps0_ref[0, 0]
@@ -114,6 +125,11 @@ def _auction_kernel(eps0_ref, benefit_ref, out_ref, *, eps_scale: float,
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0).astype(jnp.float32)
     big = jnp.float32(1e30)
     nf = jnp.float32(n)
+    # (n, 1) mask of live (real) rows; padding rows are born "assigned"
+    row_live = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(jnp.float32)
+        < jnp.float32(r)
+    )
 
     def phase(p, eps):
         def cond(carry):
@@ -144,14 +160,15 @@ def _auction_kernel(eps0_ref, benefit_ref, out_ref, *, eps_scale: float,
             p = jnp.where(has_bid, col_best, p)
             owner = jnp.where(has_bid, winner, owner)
 
-            # rebuild rtc from ownership
+            # rebuild rtc from ownership; padding rows pinned to "assigned"
             m = owner == row_iota                                  # (n, n)
             rtc = jnp.min(jnp.where(m, col_iota, nf), axis=1, keepdims=True)
             rtc = jnp.where(rtc >= nf, -1.0, rtc)
+            rtc = jnp.where(row_live, rtc, 0.0)
             return rtc, owner, p, it + 1
 
         init = (
-            jnp.full((n, 1), -1.0, jnp.float32),
+            jnp.where(row_live, -1.0, 0.0).astype(jnp.float32),
             jnp.full((1, n), -1.0, jnp.float32),
             p,
             jnp.int32(0),
@@ -181,9 +198,12 @@ def _auction_kernel(eps0_ref, benefit_ref, out_ref, *, eps_scale: float,
 
 def _pallas_auction(
     benefit: jnp.ndarray, eps0, *, eps_scale: float, eps_min: float,
-    max_iters: int, interpret: Optional[bool] = None,
+    max_iters: int, r: Optional[int] = None,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Run the auction kernel on an (n, n) benefit. Returns (n,) int32."""
+    """Run the auction kernel on an (n, n) benefit. Returns (n,) int32.
+
+    r: number of real (bidding) rows; rows r..n are padding (see kernel)."""
     import functools
 
     from jax.experimental import pallas as pl
@@ -192,11 +212,13 @@ def _pallas_auction(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = benefit.shape[0]
+    if r is None:
+        r = n
     eps0_arr = jnp.reshape(eps0.astype(jnp.float32), (1, 1))
     out = pl.pallas_call(
         functools.partial(
             _auction_kernel, eps_scale=eps_scale, eps_min=eps_min,
-            max_iters=max_iters, n=n,
+            max_iters=max_iters, n=n, r=r,
         ),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         in_specs=[
@@ -238,9 +260,75 @@ def _build_benefit(cost, valid, n_out: int, eps_min: float):
     tiny = jnp.float32(eps_min) / (4.0 * n_out)
     benefit = benefit - rot * tiny
 
+    # eps0 spans the full benefit range INCLUDING the pad gap. Tried the
+    # real-range-only eps0 (fewer phases) in round 2: standalone it looked
+    # ~equal, but inside the tracker scan it measured 2.7x SLOWER per frame
+    # (1.13 vs 0.43 ms) — the coarse early phases pre-condition prices across
+    # the pad gap cheaply (huge eps => one bid per row), and without them the
+    # fine phases pay the equalization in many small increments.
     brange = (c_max - pad) - c_min
     eps0 = jnp.maximum(brange * 0.5, jnp.float32(eps_min))
     return benefit, eps0
+
+
+def greedy_assign(
+    cost: jnp.ndarray,
+    row_mask: Optional[jnp.ndarray] = None,
+    col_mask: Optional[jnp.ndarray] = None,
+    forbid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy (lowest-cost-first) matching, fully on device.
+
+    NOT optimal assignment: repeatedly takes the globally cheapest valid
+    (row, col) pair and removes both — the classic fast tracker association
+    (the matching CenterTrack-style trackers use). Bounded sequential depth
+    min(R, C) via ``lax.while_loop`` with an early exit when no valid pair
+    remains; each iteration is one flat argmin + two mask updates (pure VPU),
+    so at tracker sizes it is several times cheaper than the eps-scaled
+    auction. Use via ``TrackerConfig.assignment='greedy'`` (speed presets);
+    ``'auction'`` (scipy-equal, SORT parity) stays the default.
+
+    Same contract as :func:`auction_assign`.
+    """
+    r, c = cost.shape
+    if row_mask is None:
+        row_mask = jnp.ones((r,), dtype=bool)
+    if col_mask is None:
+        col_mask = jnp.ones((c,), dtype=bool)
+    valid = jnp.logical_and(row_mask[:, None], col_mask[None, :])
+    if forbid is not None:
+        valid = jnp.logical_and(valid, jnp.logical_not(forbid))
+
+    big = jnp.float32(1e30)
+    work = jnp.where(valid, cost.astype(jnp.float32), big)
+    k_max = min(r, c)
+
+    def cond(carry):
+        work, _rtc, _ctr, it = carry
+        return jnp.logical_and(it < k_max, jnp.min(work) < big * 0.5)
+
+    def body(carry):
+        work, rtc, ctr, it = carry
+        flat = jnp.argmin(work.reshape(-1)).astype(jnp.int32)
+        i, j = flat // c, flat % c
+        rtc = rtc.at[i].set(j)
+        ctr = ctr.at[j].set(i)
+        rows = jnp.arange(r, dtype=jnp.int32)
+        cols = jnp.arange(c, dtype=jnp.int32)
+        work = jnp.where(
+            jnp.logical_or((rows == i)[:, None], (cols == j)[None, :]),
+            big, work,
+        )
+        return work, rtc, ctr, it + 1
+
+    init = (
+        work,
+        jnp.full((r,), -1, jnp.int32),
+        jnp.full((c,), -1, jnp.int32),
+        jnp.int32(0),
+    )
+    _work, rtc, ctr, _it = jax.lax.while_loop(cond, body, init)
+    return rtc, ctr
 
 
 def auction_assign(
@@ -294,7 +382,8 @@ def auction_assign(
         def _solve(args):
             b, e = args
             return _pallas_auction(
-                b, e, eps_scale=eps_scale, eps_min=eps_min, max_iters=max_iters
+                b, e, eps_scale=eps_scale, eps_min=eps_min,
+                max_iters=max_iters,
             )
 
         def _empty(args):

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from waymo_2d_tracking_tpu.config import TrackerConfig
-from waymo_2d_tracking_tpu.ops.assign import auction_assign
+from waymo_2d_tracking_tpu.ops.assign import auction_assign, greedy_assign
 from waymo_2d_tracking_tpu.tracker import cost as cost_mod
 from waymo_2d_tracking_tpu.tracker import kalman, lifecycle
 from waymo_2d_tracking_tpu.types import (
@@ -52,6 +52,9 @@ def init_state(cfg: TrackerConfig, dtype=jnp.float32) -> TrackerState:
 
 
 def _assign(cost, forbid, row_mask, col_mask, cfg: TrackerConfig):
+    if cfg.assignment == "greedy":
+        return greedy_assign(cost, row_mask=row_mask, col_mask=col_mask,
+                             forbid=forbid)
     return auction_assign(
         cost,
         row_mask=row_mask,
@@ -84,7 +87,7 @@ def track_step(
     # The fused kernel covers the IoU+cosine cost only; Mahalanobis motion
     # gating (motion_gate > 0) needs the covariance and uses the unfused path
     # (fused_stage1 is default-off anyway — measured slower, DESIGN.md §5.3).
-    if cfg.fused_stage1 and cfg.motion_gate == 0.0:
+    if cfg.fused_stage1 and cfg.motion_gate == 0.0 and cfg.assignment == "auction":
         from waymo_2d_tracking_tpu.ops.fused_assoc import fused_stage1_assign
 
         lam = cfg.appearance_weight if cfg.embed_dim > 0 else 0.0
