@@ -20,7 +20,17 @@ def run_detect_track_bench(
     detector_overrides: dict | None = None,
     tta: bool = False,
     metric: str = "detect_track_frames_per_sec_per_chip",
+    config=None,
+    src_hw=None,
 ):
+    """Time the chunked detect+track step over a synthetic clip.
+
+    config: full Config (e.g. from a configs/*.yaml preset) — overrides the
+      image_hw/chunk/detector_overrides/tta knobs when given.
+    src_hw: source frame size before device-side letterbox; defaults to the
+      network input size (resize skipped). Pass e.g. (1280, 1920) to include
+      the device-side resize/normalize path in the measurement.
+    """
     import dataclasses
 
     import jax
@@ -35,27 +45,31 @@ def run_detect_track_bench(
     )
     from waymo_2d_tracking_tpu.pipeline.run import SegmentFrames, SegmentPipeline
 
-    det_cfg = DetectorConfig(image_size=image_hw)
-    if detector_overrides:
-        det_cfg = dataclasses.replace(det_cfg, **detector_overrides)
-    embed_dim = det_cfg.embed_dim
-    cfg = Config(
-        detector=det_cfg,
-        tracker=TrackerConfig(max_tracks=64, max_detections=128,
-                              embed_dim=embed_dim,
-                              appearance_weight=0.3 if embed_dim else 0.0),
-        pipeline=PipelineConfig(
-            chunk_frames=chunk,
-            tta_flip=tta,
-            tta_scales=(1.0, 0.75) if tta else (1.0,),
-        ),
-    )
+    if config is not None:
+        cfg = config
+        chunk = cfg.pipeline.chunk_frames
+    else:
+        det_cfg = DetectorConfig(image_size=image_hw)
+        if detector_overrides:
+            det_cfg = dataclasses.replace(det_cfg, **detector_overrides)
+        embed_dim = det_cfg.embed_dim
+        cfg = Config(
+            detector=det_cfg,
+            tracker=TrackerConfig(max_tracks=64, max_detections=128,
+                                  embed_dim=embed_dim,
+                                  appearance_weight=0.3 if embed_dim else 0.0),
+            pipeline=PipelineConfig(
+                chunk_frames=chunk,
+                tta_flip=tta,
+                tta_scales=(1.0, 0.75) if tta else (1.0,),
+            ),
+        )
     pipeline = SegmentPipeline(cfg, rng=jax.random.PRNGKey(0))
 
+    src_hw = tuple(src_hw or cfg.detector.image_size)
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 255, (num_frames,) + tuple(image_hw) + (3,),
+    frames = rng.integers(0, 255, (num_frames,) + src_hw + (3,),
                           dtype=np.uint8)
-    src_hw = tuple(image_hw)
 
     from waymo_2d_tracking_tpu.tracker import init_state
 
