@@ -293,11 +293,10 @@ def cmd_convert(args):
 
 
 def cmd_bench(args):
-    import subprocess
-
     cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")]
-    if args.config1:
-        cmd.append("--config1")
+    for flag in ("config1", "config5", "fast", "host", "src_full"):
+        if getattr(args, flag):
+            cmd.append("--" + flag.replace("_", "-"))
     os.execv(sys.executable, cmd)
 
 
@@ -391,7 +390,15 @@ def build_parser():
     sp.set_defaults(fn=cmd_convert)
 
     sp = sub.add_parser("bench", help="run the benchmark harness")
-    sp.add_argument("--config1", action="store_true")
+    sp.add_argument("--config1", action="store_true",
+                    help="tracker-only over precomputed detections")
+    sp.add_argument("--config5", action="store_true", help="TTA e2e row")
+    sp.add_argument("--fast", action="store_true",
+                    help="configs/fast.yaml speed-preset row")
+    sp.add_argument("--host", action="store_true",
+                    help="host JPEG-decode ingestion row")
+    sp.add_argument("--src-full", dest="src_full", action="store_true",
+                    help="include device-side resize from 1280x1920 source")
     sp.set_defaults(fn=cmd_bench)
     return p
 
