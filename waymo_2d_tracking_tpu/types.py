@@ -47,6 +47,12 @@ class Detections:
 class TrackerState:
     """Fixed-capacity functional track table (S slots, E embed dim).
 
+    Scan-carry budget (SURVEY.md §7 hard-parts): at the default S=64, E=128,
+    K=1 the carried pytree is ~57 KB (cov 16 KB + embed/gallery 32+32 KB
+    dominate) — three orders below HBM spill territory, and small enough
+    that donating it (pipeline chunk step) makes the per-chunk update
+    allocation-free. S=128 with K=4 is still < 400 KB.
+
     Kalman state per slot is 8-dim constant-velocity on [cx, cy, w, h]:
       mean (S, 8)    f32 [cx, cy, w, h, vcx, vcy, vw, vh]
       cov  (S, 8, 8) f32
