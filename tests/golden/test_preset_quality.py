@@ -1,0 +1,47 @@
+"""Quality floors for the BENCHED presets (configs/production.yaml,
+configs/fast.yaml).
+
+The bench headline numbers (BASELINE.md round 2) are only meaningful if the
+preset's tracker settings hold the golden-clip quality bar — detection
+weights are random in this environment, so the floor is on the tracker
+configuration driven by the synthetic detection stream (the same oracle the
+config-1/3 goldens use). Guards against e.g. a speed-preset edit that
+quietly trades too much quality (greedy association, slot counts, gates).
+"""
+import os
+
+from waymo_2d_tracking_tpu.config import load_config
+from waymo_2d_tracking_tpu.data.synthetic import SyntheticClipConfig, generate_clip
+from waymo_2d_tracking_tpu.eval.mot import (
+    evaluate_mot,
+    gt_to_frames,
+    track_outputs_to_frames,
+)
+from waymo_2d_tracking_tpu.tracker import Tracker
+
+CONFIGS_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "configs")
+CLIP = SyntheticClipConfig(num_frames=200, num_objects=12, seed=0)
+
+
+def _run_preset_tracker(name):
+    cfg = load_config(os.path.join(CONFIGS_DIR, name))
+    dets, gt = generate_clip(CLIP)
+    tracker = Tracker(cfg.tracker)
+    _state, outs = tracker.run(dets)
+    return evaluate_mot(gt_to_frames(gt), track_outputs_to_frames(outs, CLIP.num_frames))
+
+
+def test_production_preset_quality_floor():
+    m = _run_preset_tracker("production.yaml")
+    assert m.mota >= 0.90, m.as_dict()
+    assert m.idf1 >= 0.85, m.as_dict()
+    assert m.num_idsw <= 8, m.as_dict()
+
+
+def test_fast_preset_quality_floor():
+    # greedy + IoU-only: allowed a slightly lower identity bar than
+    # production, but must stay in the same quality regime
+    m = _run_preset_tracker("fast.yaml")
+    assert m.mota >= 0.88, m.as_dict()
+    assert m.idf1 >= 0.80, m.as_dict()
+    assert m.num_idsw <= 12, m.as_dict()

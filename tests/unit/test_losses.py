@@ -75,3 +75,67 @@ def test_giou_perfect_and_disjoint():
     assert abs(float(giou_loss(p, p)[0])) < 1e-6
     worse = jnp.asarray([[1.0, 1.0, 1.0, 1.0]])
     assert float(giou_loss(worse, p)[0]) > 0.1
+
+
+def test_ema_params_track_with_warmup_ramp():
+    """EMA follows the bias-corrected ramp min(d, (1+t)/(10+t)) and lands
+    strictly between the initial and current params (train.ema_decay)."""
+    import jax
+    import numpy as np
+
+    from waymo_2d_tracking_tpu.config import Config, DetectorConfig, TrainConfig
+    from waymo_2d_tracking_tpu.data.synthetic import render_detection_batch
+    from waymo_2d_tracking_tpu.train.train import DetectorTrainer
+
+    det = DetectorConfig(
+        backbone="resnet18slim", image_size=(64, 96), fpn_channels=32,
+        head_depth=1, embed_dim=0, dtype="float32",
+    )
+    cfg = Config(detector=det,
+                 train=TrainConfig(batch_size=2, warmup_steps=1,
+                                   total_steps=20, ema_decay=0.9))
+    trainer = DetectorTrainer(cfg)
+    state = trainer.create_state(jax.random.PRNGKey(0), batch_size=2)
+    p0 = jax.device_get(state.params)
+    batch = render_detection_batch(np.random.default_rng(0), 2, det.image_size)
+
+    # manual EMA replay oracle
+    ema_ref = p0
+    for t in range(5):
+        state, _ = trainer.train_step(state, batch)
+        d_t = min(0.9, (1.0 + (t + 1)) / (10.0 + (t + 1)))
+        params_now = jax.device_get(state.params)
+        ema_ref = jax.tree.map(
+            lambda e, p, d=d_t: e * d + p * (1.0 - d), ema_ref, params_now
+        )
+    got = jax.device_get(state.ema_params)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ema_ref)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+    # eval_variables returns the EMA (not raw) params when enabled
+    ev = trainer.eval_variables(state)
+    leaf_ev = jax.tree.leaves(ev["params"])[0]
+    leaf_ema = jax.tree.leaves(state.ema_params)[0]
+    np.testing.assert_array_equal(np.asarray(leaf_ev), np.asarray(leaf_ema))
+
+
+def test_ema_disabled_keeps_empty_pytree():
+    import jax
+    import numpy as np
+
+    from waymo_2d_tracking_tpu.config import Config, DetectorConfig, TrainConfig
+    from waymo_2d_tracking_tpu.data.synthetic import render_detection_batch
+    from waymo_2d_tracking_tpu.train.train import DetectorTrainer
+
+    det = DetectorConfig(
+        backbone="resnet18slim", image_size=(64, 96), fpn_channels=32,
+        head_depth=1, embed_dim=0, dtype="float32",
+    )
+    cfg = Config(detector=det, train=TrainConfig(batch_size=2, warmup_steps=1))
+    trainer = DetectorTrainer(cfg)
+    state = trainer.create_state(jax.random.PRNGKey(0), batch_size=2)
+    batch = render_detection_batch(np.random.default_rng(0), 2, det.image_size)
+    state, _ = trainer.train_step(state, batch)
+    assert jax.tree.leaves(state.ema_params) == []
+    ev = trainer.eval_variables(state)
+    assert jax.tree.leaves(ev["params"])  # raw params, non-empty

@@ -136,6 +136,10 @@ class TrainConfig:
     total_steps: int = 20000
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
+    ema_decay: float = 0.0    # exponential moving average of params for
+                              # eval/export (0 disables; detection standard
+                              # is 0.999-0.9999). Eval with
+                              # DetectorTrainer.eval_variables(state)
     checkpoint_every: int = 1000
     checkpoint_dir: str = "/tmp/w2t_ckpt"
     # input augmentation (data/coco.py iterator)

@@ -31,6 +31,8 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    # EMA of params for eval/export (empty dict when train.ema_decay == 0)
+    ema_params: Any = struct.field(default_factory=dict)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -67,6 +69,10 @@ class DetectorTrainer:
             params=params,
             batch_stats=batch_stats,
             opt_state=self.tx.init(params),
+            # distinct buffers: the train step donates the whole state, and
+            # aliasing ema_params to params would donate each buffer twice
+            ema_params=(jax.tree.map(jnp.copy, params)
+                        if self.cfg.train.ema_decay > 0 else {}),
         )
         if self.mesh is not None:
             state = shd.replicate(state, self.mesh)
@@ -101,11 +107,24 @@ class DetectorTrainer:
         (_, (metrics, new_stats)), grads = grad_fn(state.params)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        d = self.cfg.train.ema_decay
+        if d > 0:
+            # bias-corrected decay ramp (standard warmup: effective decay
+            # grows from 0 toward d over the first ~1/(1-d) steps)
+            step = state.step + 1
+            d_t = jnp.minimum(d, (1.0 + step) / (10.0 + step))
+            new_ema = jax.tree.map(
+                lambda e, p: e * d_t + p * (1.0 - d_t),
+                state.ema_params, new_params,
+            )
+        else:
+            new_ema = state.ema_params
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
+            ema_params=new_ema,
         )
         return new_state, metrics
 
@@ -113,6 +132,12 @@ class DetectorTrainer:
         if self.mesh is not None:
             batch = shd.shard_batch(batch, self.mesh)
         return self._train_step(state, batch)
+
+    def eval_variables(self, state: TrainState):
+        """Variables dict for inference/export: EMA params when enabled
+        (train.ema_decay > 0), else the raw params."""
+        params = state.ema_params if self.cfg.train.ema_decay > 0 else state.params
+        return {"params": params, "batch_stats": state.batch_stats}
 
     # ------------------------------------------------------------ checkpoint
 
