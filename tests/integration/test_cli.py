@@ -176,3 +176,23 @@ def test_draw_renders_frames(tmp_path, capsys):
     img = cv2.imread(os.path.join(out, files[0]))
     # boxes were drawn: annotated image differs from the flat source
     assert img is not None and img.std() > 5.0
+
+
+def test_eval_det_cli(detections_file, tmp_path, capsys):
+    """eval-det: detections JSONL scored against a GT JSONL via COCO AP."""
+    dets_path, gt = detections_file
+    gt_recs = []
+    for t in range(30):
+        for k in np.flatnonzero(gt["present"][t]):
+            gt_recs.append(subm.TrackRecord.from_xyxy(
+                "ctx0", 1000 * t, 1, f"gt{k}",
+                subm.CLASS_TO_WAYMO_TYPE[int(gt["classes"][k])],
+                gt["boxes"][t, k], 1.0))
+    gt_path = str(tmp_path / "gt.jsonl")
+    subm.write_jsonl(gt_path, gt_recs)
+
+    cli.main(["eval-det", "--pred", dets_path, "--gt", gt_path])
+    out = json.loads(capsys.readouterr().out)
+    # synthetic detections are GT + small noise + 5% misses, so AP50 is high
+    assert out["AP50"] > 0.8, out
+    assert 0.0 < out["mAP"] <= 1.0, out

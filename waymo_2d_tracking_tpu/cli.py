@@ -206,6 +206,17 @@ def cmd_eval(args):
     print(json.dumps(agg, indent=2))
 
 
+def cmd_eval_det(args):
+    """COCO-style detection AP of a detections/tracks JSONL vs GT JSONL."""
+    from waymo_2d_tracking_tpu.eval.ap import evaluate_detections, records_to_frames
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+
+    pred = records_to_frames(subm.read_jsonl(args.pred), with_scores=True)
+    gt = records_to_frames(subm.read_jsonl(args.gt), with_scores=False)
+    out = evaluate_detections(pred, gt, num_classes=args.num_classes)
+    print(json.dumps({k: round(v, 5) for k, v in out.items()}, indent=2))
+
+
 def cmd_train(args):
     import jax
     import numpy as np
@@ -348,6 +359,13 @@ def build_parser():
     sp.add_argument("--gt", required=True)
     sp.add_argument("--iou", type=float, default=0.5)
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("eval-det",
+                        help="COCO-style detection AP (mAP/AP50/AP75) vs GT")
+    sp.add_argument("--pred", required=True, help="detections JSONL")
+    sp.add_argument("--gt", required=True, help="GT labels JSONL")
+    sp.add_argument("--num-classes", type=int, default=3)
+    sp.set_defaults(fn=cmd_eval_det)
 
     sp = sub.add_parser("train", help="train the detector")
     common(sp)

@@ -1,0 +1,159 @@
+"""COCO-style detection average precision (supplement to eval/mot.py).
+
+The reference pipeline trains its detector on COCO-converted Waymo data
+(SURVEY.md C4/C23 [RECALLED]); developing that detector needs the standard
+detection metric — AP at IoU thresholds — next to the tracking-level MOTA.
+Exact, small, host-side numpy (an offline eval path, like eval/mot.py:
+SURVEY.md §3.4 keeps scipy-free exact evaluation on host).
+
+Implements the COCO protocol: per class and IoU threshold, detections are
+sorted by score and greedily matched to the best still-unmatched GT with
+IoU >= thr; AP is the 101-point interpolated area under the P-R curve;
+mAP averages over IoU 0.50:0.95:0.05. No crowd/area/maxdet handling — the
+Waymo 2D labels have none of those concepts.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Mapping, Sequence, Tuple
+
+import numpy as np
+
+
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(G,4) x (D,4) xyxy -> (G,D) IoU."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)))
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.prod(np.maximum(a[:, 2:] - a[:, :2], 0), axis=1)
+    area_b = np.prod(np.maximum(b[:, 2:] - b[:, :2], 0), axis=1)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+
+
+def _ap_101(recall: np.ndarray, precision: np.ndarray) -> float:
+    """COCO 101-point interpolated AP."""
+    # precision envelope (monotone non-increasing from the right)
+    prec = np.concatenate([[0.0], precision, [0.0]])
+    rec = np.concatenate([[0.0], recall, [1.0]])
+    for i in range(len(prec) - 2, -1, -1):
+        prec[i] = max(prec[i], prec[i + 1])
+    points = np.linspace(0.0, 1.0, 101)
+    idx = np.searchsorted(rec, points, side="left")
+    return float(np.mean(prec[np.minimum(idx, len(prec) - 1)]))
+
+
+def average_precision(
+    preds: Mapping[object, Tuple[np.ndarray, np.ndarray]],
+    gts: Mapping[object, np.ndarray],
+    iou_thr: float,
+) -> float:
+    """AP for ONE class at one IoU threshold.
+
+    preds: image_key -> (boxes (D,4) xyxy, scores (D,)).
+    gts:   image_key -> boxes (G,4) xyxy.
+    """
+    num_gt = sum(len(g) for g in gts.values())
+    rows: List[Tuple[float, object, int]] = []  # (score, img, det_idx)
+    for img, (boxes, scores) in preds.items():
+        for d in range(len(boxes)):
+            rows.append((float(scores[d]), img, d))
+    if num_gt == 0:
+        return float("nan")
+    if not rows:
+        return 0.0
+    rows.sort(key=lambda r: -r[0])
+
+    matched: Dict[object, np.ndarray] = {
+        img: np.zeros(len(g), bool) for img, g in gts.items()
+    }
+    tp = np.zeros(len(rows))
+    fp = np.zeros(len(rows))
+    for i, (_score, img, d) in enumerate(rows):
+        gt_boxes = gts.get(img, np.zeros((0, 4)))
+        if len(gt_boxes) == 0:
+            fp[i] = 1
+            continue
+        box = preds[img][0][d]
+        ious = _iou_matrix(gt_boxes, box[None])[:, 0]
+        ious = np.where(matched[img], -1.0, ious)  # COCO: best UNMATCHED gt
+        g = int(np.argmax(ious))
+        if ious[g] >= iou_thr:
+            matched[img][g] = True
+            tp[i] = 1
+        else:
+            fp[i] = 1
+    tp_cum = np.cumsum(tp)
+    fp_cum = np.cumsum(fp)
+    recall = tp_cum / num_gt
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
+    return _ap_101(recall, precision)
+
+
+def evaluate_detections(
+    pred_frames: Sequence[Tuple[object, np.ndarray, np.ndarray, np.ndarray]],
+    gt_frames: Sequence[Tuple[object, np.ndarray, np.ndarray]],
+    num_classes: int = 3,
+    iou_thrs: Sequence[float] = tuple(np.arange(0.5, 0.96, 0.05)),
+) -> Dict[str, float]:
+    """COCO-style summary over a detection set.
+
+    pred_frames: (image_key, boxes (D,4), scores (D,), classes (D,)).
+    gt_frames:   (image_key, boxes (G,4), classes (G,)).
+    Returns {"mAP", "AP50", "AP75", "AP_class<k>"...} (NaN-classes — no GT —
+    are excluded from means, per COCO).
+    """
+    per_thr_cls = np.full((len(iou_thrs), num_classes), np.nan)
+    for cls in range(num_classes):
+        preds = {}
+        for key, boxes, scores, classes in pred_frames:
+            m = np.asarray(classes) == cls
+            preds[key] = (np.asarray(boxes)[m], np.asarray(scores)[m])
+        gts = {}
+        for key, boxes, classes in gt_frames:
+            m = np.asarray(classes) == cls
+            gts[key] = np.asarray(boxes)[m]
+        for t, thr in enumerate(iou_thrs):
+            per_thr_cls[t, cls] = average_precision(preds, gts, float(thr))
+
+    out: Dict[str, float] = {}
+    valid = ~np.isnan(per_thr_cls)
+    out["mAP"] = float(np.mean(per_thr_cls[valid])) if valid.any() else 0.0
+    for label, thr in (("AP50", 0.5), ("AP75", 0.75)):
+        t = int(np.argmin(np.abs(np.asarray(iou_thrs) - thr)))
+        row = per_thr_cls[t]
+        out[label] = float(np.nanmean(row)) if (~np.isnan(row)).any() else 0.0
+    for cls in range(num_classes):
+        col = per_thr_cls[:, cls]
+        if (~np.isnan(col)).any():
+            out[f"AP_class{cls}"] = float(np.nanmean(col))
+    return out
+
+
+def records_to_frames(records, with_scores: bool):
+    """Group submission.TrackRecord rows by (context, camera, timestamp).
+
+    Returns pred_frames or gt_frames tuples for evaluate_detections; record
+    object_type (Waymo 1/2/4) is mapped back to internal classes 0/1/2.
+    """
+    from waymo_2d_tracking_tpu.io_out.submission import CLASS_TO_WAYMO_TYPE
+
+    type_to_class = {t: i for i, t in enumerate(CLASS_TO_WAYMO_TYPE)}
+    by_key: Dict[object, List] = {}
+    for r in records:
+        key = (r.context_name, r.camera_name, r.timestamp_micros)
+        by_key.setdefault(key, []).append(r)
+    frames = []
+    for key, rows in sorted(by_key.items()):
+        boxes = np.array([r.to_xyxy() for r in rows], float).reshape(-1, 4)
+        classes = np.array(
+            [type_to_class.get(r.object_type, 0) for r in rows], int
+        )
+        if with_scores:
+            scores = np.array([r.score for r in rows], float)
+            frames.append((key, boxes, scores, classes))
+        else:
+            frames.append((key, boxes, classes))
+    return frames
