@@ -226,7 +226,17 @@ def cmd_train(args):
     from waymo_2d_tracking_tpu.train.train import DetectorTrainer, train_loop
 
     cfg = _load_config(args)
-    mesh = shd.make_mesh() if args.sharded else None
+    if args.sharded:
+        from waymo_2d_tracking_tpu.parallel import multihost as mh
+
+        # multi-host (DCN) when the W2T_COORDINATOR env is present: global
+        # mesh over every process's devices; single-host local mesh otherwise
+        if mh.initialize_multihost():
+            mesh = mh.make_global_mesh()
+        else:
+            mesh = shd.make_mesh()
+    else:
+        mesh = None
     trainer = DetectorTrainer(cfg, mesh=mesh)
     if args.data_dir:
         from waymo_2d_tracking_tpu.data.coco import coco_batch_iterator
