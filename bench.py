@@ -134,6 +134,11 @@ def main():
     if "--fast" in sys.argv:
         print(json.dumps(bench_detect_track(preset="fast")))
         return
+    if "--config4" in sys.argv:
+        from waymo_2d_tracking_tpu.pipeline.bench_e2e import run_multicam_bench
+
+        print(json.dumps(run_multicam_bench()))
+        return
     if "--config5" in sys.argv:
         print(json.dumps(bench_tta()))
         return

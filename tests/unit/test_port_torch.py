@@ -19,6 +19,9 @@ CFG = DetectorConfig(
     backbone="resnet18", image_size=(64, 96), fpn_channels=32,
     head_depth=2, pre_nms_topk=32, max_detections=8, embed_dim=0,
     dtype="float32",
+    # conv7 pins the 1:1 kernel-layout mapping this test asserts; the
+    # s2d default path is covered by test_s2d_stem_conversion_on_import
+    stem="conv7",
 )
 
 _R18_STAGES = (2, 2, 2, 2)

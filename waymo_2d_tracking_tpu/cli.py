@@ -315,7 +315,7 @@ def cmd_convert(args):
 
 def cmd_bench(args):
     cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")]
-    for flag in ("config1", "config5", "fast", "host", "src_full"):
+    for flag in ("config1", "config4", "config5", "fast", "host", "src_full"):
         if getattr(args, flag):
             cmd.append("--" + flag.replace("_", "-"))
     os.execv(sys.executable, cmd)
@@ -420,6 +420,8 @@ def build_parser():
     sp = sub.add_parser("bench", help="run the benchmark harness")
     sp.add_argument("--config1", action="store_true",
                     help="tracker-only over precomputed detections")
+    sp.add_argument("--config4", action="store_true",
+                    help="5-camera shared-backbone multicam row")
     sp.add_argument("--config5", action="store_true", help="TTA e2e row")
     sp.add_argument("--fast", action="store_true",
                     help="configs/fast.yaml speed-preset row")

@@ -79,10 +79,13 @@ class DetectorConfig:
     num_classes: int = 3                 # Waymo 2D: vehicle, pedestrian, cyclist
     image_size: Tuple[int, int] = (640, 960)   # (H, W) after letterbox; config 2 uses (1280, 1920)
     backbone: str = "resnet50"
-    stem: str = "conv7"       # 'conv7' (torch-parity 7x7/s2) or 's2d'
-                              # (weight-equivalent space-to-depth 4x4/s1 —
-                              # the MLPerf-TPU stem: C_in 3->12 fills MXU
-                              # lanes; convert_stem_to_s2d ports weights)
+    stem: str = "s2d"         # 's2d' (default: weight-equivalent space-to-
+                              # depth 4x4/s1 — the MLPerf-TPU stem: C_in
+                              # 3->12 fills MXU lanes) or 'conv7' (the torch
+                              # 7x7/s2 form; use for 1:1 layout parity runs —
+                              # convert_stem_to_s2d ports conv7 weights
+                              # exactly, and train/port_torch.py applies it
+                              # automatically on import)
     fpn_channels: int = 256
     fpn_levels: Tuple[int, ...] = (3, 4, 5, 6, 7)   # P3..P7 strides 8..128
     head_depth: int = 4

@@ -101,3 +101,65 @@ def run_detect_track_bench(
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
     }
+
+
+def run_multicam_bench(
+    num_frames: int = 32,
+    repeats: int = 5,
+    num_cams: int = 5,
+    chunk: int = 8,
+):
+    """BASELINE config 4: 5-camera shared-backbone batch + per-camera
+    vmapped trackers, on the production detector settings. Reported fps
+    counts camera-frames (the detector batch is chunk*num_cams)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from waymo_2d_tracking_tpu.config import load_config
+    from waymo_2d_tracking_tpu.pipeline.multicam import (
+        MultiCamPipeline,
+        init_multicam_state,
+    )
+
+    cfg = load_config(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "configs", "production.yaml")
+    )
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, chunk_frames=chunk)
+    )
+    pipeline = MultiCamPipeline(cfg, num_cams=num_cams, rng=jax.random.PRNGKey(0))
+
+    hw = tuple(cfg.detector.image_size)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(
+        0, 255, (num_frames, num_cams) + hw + (3,), dtype=np.uint8
+    )
+    dev_frames = [
+        jax.device_put(frames[i : i + chunk])
+        for i in range(0, num_frames, chunk)
+    ]
+    states = init_multicam_state(cfg, num_cams)
+    states, outputs, _ = pipeline._chunk_step(pipeline.params, states, dev_frames[0], hw)
+    _ = np.asarray(outputs.valid)  # real sync
+
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        states = init_multicam_state(cfg, num_cams)
+        for block in dev_frames:
+            states, outputs, _ = pipeline._chunk_step(
+                pipeline.params, states, block, hw
+            )
+    _ = np.asarray(outputs.valid)
+    dt = (time.perf_counter() - t0) / repeats
+    fps = num_frames * num_cams / dt
+    return {
+        "metric": "detect_track_multicam_camframes_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "camera-frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
