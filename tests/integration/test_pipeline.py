@@ -108,3 +108,31 @@ def test_run_segment_with_tta(tmp_path):
     assert pipe._tta_active
     records, stats = pipe.run_segment(make_segment(t=6))
     assert stats["frames"] == 6
+
+
+def test_pad_tail_does_not_kill_final_track_table():
+    """Regression (round-2 review): the last chunk's padding frames used to
+    be ZEROS; a tail longer than tracker.max_age aged every live track out
+    of the carried table, so pipeline.last_state — the source of the
+    .gallery.npz sidecars that `w2t link` consumes — was always empty.
+    Padding now repeats the final real frame, which keeps the table alive.
+    """
+    import dataclasses
+
+    # 9 frames, chunk 8 -> 7 pad frames >> max_age=2
+    cfg = dataclasses.replace(
+        CFG,
+        tracker=dataclasses.replace(CFG.tracker, max_age=2),
+        pipeline=dataclasses.replace(CFG.pipeline, chunk_frames=8),
+    )
+    p = SegmentPipeline(cfg, rng=jax.random.PRNGKey(0))
+    records, _stats = p.run_segment(make_segment(t=9))
+    if not records:
+        pytest.skip("random-weight detector produced no detections at all")
+    from waymo_2d_tracking_tpu.types import SLOT_EMPTY
+
+    state = p.last_state
+    live = (np.asarray(state.status) != SLOT_EMPTY) & (
+        np.asarray(state.track_id) >= 0
+    )
+    assert live.any(), "pad tail wiped the final track table"

@@ -78,7 +78,10 @@ def cmd_track(args):
         if args.sharded:
             from waymo_2d_tracking_tpu.pipeline.sharded import run_segments_sharded
 
-            stats = run_segments_sharded(pipeline, segments, args.out_dir)
+            stats = run_segments_sharded(
+                pipeline, segments, args.out_dir,
+                fail_after=args.fail_after_n_segments,
+            )
         else:
             stats = run_segments(pipeline, segments, args.out_dir,
                                  fail_after=args.fail_after_n_segments)

@@ -20,17 +20,12 @@ import numpy as np
 
 
 def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(G,4) x (D,4) xyxy -> (G,D) IoU."""
+    """(G,4) x (D,4) xyxy -> (G,D) IoU (shared helper from eval/mot.py)."""
+    from waymo_2d_tracking_tpu.eval.mot import _frame_iou
+
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)))
-    lt = np.maximum(a[:, None, :2], b[None, :, :2])
-    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
-    wh = np.maximum(rb - lt, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
-    area_a = np.prod(np.maximum(a[:, 2:] - a[:, :2], 0), axis=1)
-    area_b = np.prod(np.maximum(b[:, 2:] - b[:, :2], 0), axis=1)
-    union = area_a[:, None] + area_b[None, :] - inter
-    return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+    return _frame_iou(np.asarray(a, float), np.asarray(b, float))
 
 
 def _ap_101(recall: np.ndarray, precision: np.ndarray) -> float:
@@ -143,13 +138,17 @@ def records_to_frames(records, with_scores: bool):
     type_to_class = {t: i for i, t in enumerate(CLASS_TO_WAYMO_TYPE)}
     by_key: Dict[object, List] = {}
     for r in records:
+        if r.object_type not in type_to_class:
+            # e.g. Waymo TYPE_SIGN (3): not one of the tracked classes —
+            # skip rather than silently aliasing to vehicle
+            continue
         key = (r.context_name, r.camera_name, r.timestamp_micros)
         by_key.setdefault(key, []).append(r)
     frames = []
     for key, rows in sorted(by_key.items()):
         boxes = np.array([r.to_xyxy() for r in rows], float).reshape(-1, 4)
         classes = np.array(
-            [type_to_class.get(r.object_type, 0) for r in rows], int
+            [type_to_class[r.object_type] for r in rows], int
         )
         if with_scores:
             scores = np.array([r.score for r in rows], float)

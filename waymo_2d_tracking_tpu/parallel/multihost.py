@@ -22,7 +22,7 @@ from typing import Optional
 
 import jax
 
-from waymo_2d_tracking_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
+from waymo_2d_tracking_tpu.parallel.sharding import DATA_AXIS  # noqa: F401 (re-export)
 
 _ENV_COORD = "W2T_COORDINATOR"       # host:port of process 0
 _ENV_NPROC = "W2T_NUM_PROCESSES"
@@ -64,14 +64,6 @@ def make_global_mesh(model_parallel: int = 1):
     initialize). Data axis is process-major: contiguous per-process blocks,
     so intra-host reduction rides ICI and only the inter-host step crosses
     DCN."""
-    from jax.sharding import Mesh
-    import numpy as np
+    from waymo_2d_tracking_tpu.parallel.sharding import make_mesh
 
-    devices = jax.devices()
-    n = len(devices)
-    if n % model_parallel:
-        raise ValueError(
-            f"{n} global devices not divisible by model_parallel={model_parallel}"
-        )
-    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    return make_mesh(model_parallel=model_parallel, devices=jax.devices())

@@ -57,7 +57,13 @@ class SegmentFrames:
         return len(self.timestamps)
 
     def chunk_iter(self, chunk: int) -> Iterator[np.ndarray]:
-        """Yield (chunk, H, W, 3) uint8 arrays, last chunk zero-padded.
+        """Yield (chunk, H, W, 3) uint8 arrays; the last chunk is padded by
+        REPEATING the final real frame (not zeros: the tracker scan treats
+        pad frames as real ones, and a zero tail of chunk_frames > max_age
+        blanks would age out every live track — leaving the end-of-segment
+        track table, which feeds the .gallery.npz sidecar for cross-camera
+        linking, empty). Pad-frame outputs are trimmed by the caller either
+        way; repeats keep the carried state alive.
 
         JPEG sources decode through the native thread-pool shim
         (data/jpeg.py; cv2 fallback) — one batched GIL-free call per chunk.
@@ -79,7 +85,7 @@ class SegmentFrames:
                 if block.shape[0] < chunk:
                     pad = chunk - block.shape[0]
                     block = np.concatenate(
-                        [block, np.zeros((pad,) + block.shape[1:], block.dtype)]
+                        [block, np.repeat(block[-1:], pad, axis=0)]
                     )
                 yield block
         finally:

@@ -75,9 +75,12 @@ class ShardedSegmentRunner:
         return step
 
     def run_group(self, group: List[SegmentFrames], out_dir: str) -> List[dict]:
-        """Track up to ``n_shards`` segments in lockstep; writes per-segment
-        JSONL files. Shorter segments are zero-padded to the group max and
-        their padded-frame outputs trimmed on the host."""
+        """Track up to ``n_shards`` same-resolution segments in lockstep;
+        writes per-segment JSONL files (+ .gallery.npz sidecars, matching
+        run_segments' contract for `w2t link`). Shorter/absent segments are
+        padded by repeating their last real block — zeros would age every
+        live track out of the final table before it is captured (same
+        rationale as SegmentFrames.chunk_iter)."""
         cfg = self.pipeline.cfg
         chunk = cfg.pipeline.chunk_frames
         g = self.n_shards
@@ -95,14 +98,22 @@ class ShardedSegmentRunner:
             batch_sharding,
         )
         outputs_host = []
+        last_blocks: List = [None] * g
         for start in range(0, t_max, chunk):
             blocks: List = [None] * g
             for idx, (s, it) in enumerate(zip(pad_group, iters)):
                 if it is not None and start < s.num_frames:
                     blocks[idx] = next(it)
+                    last_blocks[idx] = blocks[idx]
             # start < t_max guarantees at least one live segment in the group
             ref = next(b for b in blocks if b is not None)
-            blocks = [b if b is not None else np.zeros_like(ref) for b in blocks]
+            for idx, b in enumerate(blocks):
+                if b is None:
+                    prev = last_blocks[idx]
+                    blocks[idx] = (
+                        np.repeat(prev[-1:], chunk, axis=0)
+                        if prev is not None else np.zeros_like(ref)
+                    )
             frames = np.stack(blocks)                       # (G, chunk, H, W, 3)
             if src_hw is None:
                 src_hw = tuple(frames.shape[2:4])
@@ -114,6 +125,7 @@ class ShardedSegmentRunner:
             if it is not None:
                 it.close()
 
+        final_states = jax.device_get(states)    # (G, ...) stacked table
         # (G, T_pad, ...) per-segment trim + records
         stacked = jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=1), *outputs_host
@@ -129,6 +141,13 @@ class ShardedSegmentRunner:
                 out_dir, f"{seg.context_name}_{seg.camera_name}.jsonl"
             )
             subm.write_jsonl(seg_file, records)
+            if final_states.embed.shape[-1] > 1:
+                np.savez(
+                    seg_file[: -len(".jsonl")] + ".gallery.npz",
+                    track_id=np.asarray(final_states.track_id[i]),
+                    status=np.asarray(final_states.status[i]),
+                    embed=np.asarray(final_states.embed[i], np.float32),
+                )
             stats.append({
                 "context": seg.context_name,
                 "camera": seg.camera_name,
@@ -158,9 +177,21 @@ def run_segments_sharded(
     segments: Iterable[SegmentFrames],
     out_dir: str,
     mesh: Optional[Mesh] = None,
+    fail_after: Optional[int] = None,
 ) -> List[dict]:
     """Manifest-resumable sharded fan-out: groups of mesh-size segments run
-    in lockstep, one per device (same manifest contract as run_segments)."""
+    in lockstep, one per device (same manifest contract as run_segments).
+
+    Segments are consumed LAZILY (a SegmentFrames can hold a whole segment's
+    JPEG bytes — materializing thousands of them would swallow host RAM) and
+    grouped by source resolution: a lockstep group is one stacked device
+    batch, so mixing e.g. Waymo FRONT (1280x1920) with SIDE (886x1920)
+    segments in one group is impossible; per-resolution buckets flush when
+    full and at end-of-stream.
+
+    fail_after: test hook matching run_segments — raise after N completed
+    segments to exercise manifest resume.
+    """
     from waymo_2d_tracking_tpu.parallel.sharding import make_mesh
 
     mesh = mesh or make_mesh()
@@ -174,18 +205,45 @@ def run_segments_sharded(
                 if line.strip():
                     done.add(json.loads(line)["key"])
 
-    todo = [
-        s for s in segments
-        if f"{s.context_name}/{s.camera_name}" not in done
-    ]
     all_stats = []
+    n_run = 0
     g = runner.n_shards
-    for i in range(0, len(todo), g):
-        group = todo[i : i + g]
+
+    def _src_hw(seg: SegmentFrames):
+        if seg.frames is not None:
+            return tuple(seg.frames.shape[1:3])
+        it = seg.chunk_iter(1)
+        try:
+            return tuple(next(it).shape[1:3])
+        finally:
+            it.close()
+
+    def _flush(group):
+        nonlocal n_run
+        if not group:
+            return
+        if fail_after is not None and n_run >= fail_after:
+            raise RuntimeError(
+                f"fault injection: stopping after {fail_after} segments"
+            )
         stats = runner.run_group(group, out_dir)
         with open(manifest_path, "a") as f:
             for seg, st in zip(group, stats):
                 key = f"{seg.context_name}/{seg.camera_name}"
                 f.write(json.dumps({"key": key, **st}) + "\n")
         all_stats.extend(stats)
+        n_run += len(group)
+
+    buckets: dict = {}   # src_hw -> pending segments (each bucket < g long)
+    for seg in segments:
+        if f"{seg.context_name}/{seg.camera_name}" in done:
+            continue
+        hw = _src_hw(seg)
+        bucket = buckets.setdefault(hw, [])
+        bucket.append(seg)
+        if len(bucket) == g:
+            _flush(bucket)
+            buckets[hw] = []
+    for bucket in buckets.values():
+        _flush(bucket)
     return all_stats

@@ -110,7 +110,10 @@ def detect_tta_batch(
     using the final merged boxes — augmentation affects candidate generation,
     not the appearance features.
     """
-    from waymo_2d_tracking_tpu.ops.roi_align import roi_align_batched
+    from waymo_2d_tracking_tpu.ops.roi_align import (
+        roi_align_batched,
+        roi_align_multilevel_batched,
+    )
 
     # base forward: provides the ReID feature pyramid AND the unflipped
     # 1.0-scale view's head outputs (reused by tta_candidates_batched)
@@ -124,11 +127,22 @@ def detect_tta_batch(
     )
     n, d = boxes.shape[:2]
     if cfg.embed_dim > 0:
-        lvl0 = min(cfg.fpn_levels)
-        pooled = roi_align_batched(
-            p_feats[lvl0], boxes, spatial_scale=1.0 / (2 ** lvl0),
-            output_size=7,
-        )
+        # same level-selection rule as DetectorRunner._detect_impl, so TTA
+        # and non-TTA embeddings are drawn from the same pyramid scales
+        if cfg.reid_multilevel:
+            lvls = [l for l in cfg.fpn_levels if l <= 5]
+            pooled = roi_align_multilevel_batched(
+                {lvl: p_feats[lvl] for lvl in lvls},
+                boxes,
+                {lvl: 2 ** lvl for lvl in lvls},
+                output_size=7,
+            )
+        else:
+            lvl0 = min(cfg.fpn_levels)
+            pooled = roi_align_batched(
+                p_feats[lvl0], boxes, spatial_scale=1.0 / (2 ** lvl0),
+                output_size=7,
+            )
         flat = pooled.reshape((n * d,) + pooled.shape[2:])
         embeds = module.apply(params, flat, method=Detector.embed)
         embeds = embeds.reshape(n, d, -1) * valid[..., None]
