@@ -107,3 +107,70 @@ def test_sharded_cli_flag(pipeline, tmp_path, capsys):
     manifest = os.path.join(out, "manifest.jsonl")
     assert os.path.exists(manifest)
     assert len(open(manifest).read().strip().splitlines()) == 2
+
+
+def test_sharded_grouping_by_resolution_lazy_and_fault_injection(tmp_path, monkeypatch):
+    """run_segments_sharded logic (no device work — run_group is stubbed):
+    - groups NEVER mix source resolutions (one stacked batch per group);
+    - segments are consumed lazily from a generator;
+    - fail_after raises after N completed segments, manifest keeps the rest.
+    """
+    import numpy as np
+    import pytest as _pytest
+
+    from waymo_2d_tracking_tpu.pipeline import sharded as sh
+    from waymo_2d_tracking_tpu.pipeline.run import SegmentFrames
+
+    groups_run = []
+
+    class FakeRunner:
+        n_shards = 2
+
+        def __init__(self, pipeline, mesh):
+            pass
+
+        def run_group(self, group, out_dir):
+            groups_run.append([(s.context_name, s.frames.shape[1:3]) for s in group])
+            return [
+                {"context": s.context_name, "camera": s.camera_name,
+                 "frames": s.num_frames, "tracks": 0, "records": 0, "shard": i}
+                for i, s in enumerate(group)
+            ]
+
+    monkeypatch.setattr(sh, "ShardedSegmentRunner", FakeRunner)
+
+    def make(name, hw):
+        return SegmentFrames(
+            context_name=name, camera_name=1, timestamps=[0, 1000],
+            frames=np.zeros((2,) + hw + (3,), np.uint8),
+        )
+
+    consumed = []
+
+    def seg_gen():
+        # FRONT-sized and SIDE-sized segments interleaved
+        for name, hw in [("a", (12, 16)), ("b", (8, 16)), ("c", (12, 16)),
+                         ("d", (8, 16)), ("e", (12, 16))]:
+            consumed.append(name)
+            yield make(name, hw)
+
+    out = str(tmp_path / "out")
+    stats = sh.run_segments_sharded(object(), seg_gen(), out, mesh=object())
+    assert len(stats) == 5
+    for g in groups_run:
+        assert len({hw for _n, hw in g}) == 1, f"mixed resolutions: {g}"
+    # full groups flush as soon as they fill (lazy consume): the (a, c)
+    # 12x16 group must have run before segment e was generated
+    assert groups_run[0] == [("a", (12, 16)), ("c", (12, 16))]
+
+    # fault injection: fresh dir, stop after 2 completed segments
+    groups_run.clear()
+    out2 = str(tmp_path / "out2")
+    with _pytest.raises(RuntimeError, match="fault injection"):
+        sh.run_segments_sharded(object(), seg_gen(), out2, mesh=object(),
+                                fail_after=2)
+    import json as _json
+
+    with open(out2 + "/manifest.jsonl") as f:
+        done = [_json.loads(l)["key"] for l in f if l.strip()]
+    assert len(done) == 2   # the first full group committed before the stop
