@@ -45,9 +45,13 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Decode one JPEG into dst (RGB, row-major). Returns true on success with
-// exactly (exp_h, exp_w).
+// exactly (exp_h, exp_w). scale_num/scale_denom request libjpeg's
+// DCT-domain scaled decode (1/2, 1/4, 1/8 everywhere; turbo supports M/8):
+// decoding a 1280x1920 Waymo frame directly at 1/2 does ~4x less IDCT +
+// color-convert work than full decode — the host-ingestion lever for the
+// 512x768 production preset (SURVEY.md §7 12k-decodes/sec budget).
 bool decode_one(const uint8_t* src, size_t len, uint8_t* dst, int exp_h,
-                int exp_w) {
+                int exp_w, int scale_num = 1, int scale_denom = 1) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -60,6 +64,8 @@ bool decode_one(const uint8_t* src, size_t len, uint8_t* dst, int exp_h,
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(src), len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = static_cast<unsigned int>(scale_num);
+  cinfo.scale_denom = static_cast<unsigned int>(scale_denom);
   jpeg_start_decompress(&cinfo);
   if (static_cast<int>(cinfo.output_height) != exp_h ||
       static_cast<int>(cinfo.output_width) != exp_w ||
@@ -137,9 +143,12 @@ void w2t_decoder_destroy(void* handle) {
   delete static_cast<ThreadPool*>(handle);
 }
 
-int w2t_decode_batch(void* handle, int n, const uint8_t** srcs,
-                     const size_t* src_lens, uint8_t* dst, size_t dst_stride,
-                     int exp_h, int exp_w) {
+// scale_num/scale_denom: DCT-scaled decode; exp_h/exp_w are the EXPECTED
+// POST-SCALE dimensions (libjpeg rounds up: ceil(src * num / denom)).
+int w2t_decode_batch_scaled(void* handle, int n, const uint8_t** srcs,
+                            const size_t* src_lens, uint8_t* dst,
+                            size_t dst_stride, int exp_h, int exp_w,
+                            int scale_num, int scale_denom) {
   ThreadPool* pool = static_cast<ThreadPool*>(handle);
   std::atomic<int> ok_count{0};
   std::atomic<int> done{0};
@@ -149,7 +158,8 @@ int w2t_decode_batch(void* handle, int n, const uint8_t** srcs,
   for (int i = 0; i < n; ++i) {
     pool->submit([&, i] {
       uint8_t* out = dst + static_cast<size_t>(i) * dst_stride;
-      if (decode_one(srcs[i], src_lens[i], out, exp_h, exp_w)) {
+      if (decode_one(srcs[i], src_lens[i], out, exp_h, exp_w, scale_num,
+                     scale_denom)) {
         ok_count.fetch_add(1, std::memory_order_relaxed);
       } else {
         std::memset(out, 0, dst_stride);
@@ -163,6 +173,13 @@ int w2t_decode_batch(void* handle, int n, const uint8_t** srcs,
   std::unique_lock<std::mutex> lock(mu);
   cv.wait(lock, [&] { return done.load(std::memory_order_acquire) == n; });
   return ok_count.load();
+}
+
+int w2t_decode_batch(void* handle, int n, const uint8_t** srcs,
+                     const size_t* src_lens, uint8_t* dst, size_t dst_stride,
+                     int exp_h, int exp_w) {
+  return w2t_decode_batch_scaled(handle, n, srcs, src_lens, dst, dst_stride,
+                                 exp_h, exp_w, 1, 1);
 }
 
 }  // extern "C"

@@ -136,3 +136,37 @@ def test_pad_tail_does_not_kill_final_track_table():
         np.asarray(state.track_id) >= 0
     )
     assert live.any(), "pad tail wiped the final track table"
+
+
+def test_decode_scale_denom_outputs_in_original_pixels(tmp_path):
+    """pipeline.decode_scale_denom=2: half-res decode feeds the detector,
+    but track outputs map back to ORIGINAL source pixels (letterbox scale
+    composed with the decode scale)."""
+    import dataclasses
+
+    from waymo_2d_tracking_tpu.data.waymo import (
+        iter_segments, materialize_directory_segment,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (6, 96, 128, 3), np.uint8)
+    materialize_directory_segment(
+        str(tmp_path), "ctxs", frames, [1000 * t for t in range(6)])
+
+    cfg = dataclasses.replace(
+        CFG, pipeline=dataclasses.replace(
+            CFG.pipeline, chunk_frames=4, decode_scale_denom=2),
+    )
+    p = SegmentPipeline(cfg, rng=jax.random.PRNGKey(0))
+    (seg,) = list(iter_segments(str(tmp_path)))
+    records, stats = p.run_segment(seg)
+    assert stats["frames"] == 6
+    if records:
+        xs = [r.center_x for r in records]
+        ys = [r.center_y for r in records]
+        # network input is (64, 96) on a 48x64 scaled source; original-pixel
+        # outputs may exceed the scaled frame but stay in the 128x96 original
+        assert max(xs) <= 128.0 + 1e-3 and max(ys) <= 96.0 + 1e-3
+        # at least some coordinates land beyond the scaled-source extent,
+        # proving the decode scale was composed back in
+        assert max(xs) > 48.0 or max(ys) > 64.0 or len(records) < 3

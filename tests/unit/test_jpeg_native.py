@@ -75,3 +75,47 @@ def test_throughput_exceeds_cv2_loop(jpegs):
     native.close()
     # should be several-x; assert a conservative margin to avoid flakes
     assert t_native < t_cv2, (t_native, t_cv2)
+
+
+def test_scaled_decode_half():
+    """DCT-domain 1/2 decode: right dims, content close to full-decode +
+    area-resize (not identical — different filters; mean abs diff small)."""
+    import cv2
+
+    from waymo_2d_tracking_tpu.data.jpeg import BatchJpegDecoder
+
+    rng = np.random.default_rng(5)
+    # smooth-ish image so the two downscale filters agree closely
+    img = cv2.GaussianBlur(
+        rng.integers(0, 255, (64, 96, 3), np.uint8), (7, 7), 3)
+    jpeg = cv2.imencode(".jpg", img[:, :, ::-1],
+                        [cv2.IMWRITE_JPEG_QUALITY, 95])[1].tobytes()
+    for native in (True, False):
+        dec = BatchJpegDecoder(32, 48, native=native, scale_denom=2)
+        try:
+            out = dec.decode([jpeg] * 3)
+        finally:
+            dec.close()
+        assert out.shape == (3, 32, 48, 3)
+        full = cv2.imdecode(np.frombuffer(jpeg, np.uint8),
+                            cv2.IMREAD_COLOR)[:, :, ::-1]
+        ref = cv2.resize(full, (48, 32), interpolation=cv2.INTER_AREA)
+        diff = np.abs(out[0].astype(int) - ref.astype(int)).mean()
+        assert diff < 8.0, (native, diff)
+
+
+def test_scaled_decode_odd_dims_round_up():
+    import cv2
+
+    from waymo_2d_tracking_tpu.data.jpeg import BatchJpegDecoder
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (66, 98, 3), np.uint8)   # ceil(66/4)=17, ceil(98/4)=25
+    jpeg = cv2.imencode(".jpg", img[:, :, ::-1])[1].tobytes()
+    dec = BatchJpegDecoder(17, 25, scale_denom=4)
+    try:
+        out = dec.decode([jpeg])
+    finally:
+        dec.close()
+    assert out.shape == (1, 17, 25, 3)
+    assert out.any(), "decode failed (zeroed slot)"

@@ -123,6 +123,14 @@ class PipelineConfig:
     cameras: Sequence[str] = ("FRONT",)
     chunk_frames: int = 8          # frames per jitted scan chunk
     prefetch_depth: int = 2        # double-buffered host->HBM staging
+    decode_scale_denom: int = 1    # 2/4/8: libjpeg DCT-domain scaled decode
+                                   # at 1/denom (data/jpeg.py) — ~denom^2
+                                   # less host decode work. Track outputs
+                                   # stay in ORIGINAL source pixels (the
+                                   # letterbox scale is composed with the
+                                   # decode scale). Production@512x768 with
+                                   # denom=2: 1280x1920 JPEGs decode to
+                                   # 640x960, device resizes the rest.
     tta_flip: bool = False
     tta_scales: Sequence[float] = (1.0,)
     data_axis: str = "data"        # mesh axis name for segment/camera fan-out

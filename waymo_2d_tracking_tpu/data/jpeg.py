@@ -55,6 +55,13 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ctypes.c_int, ctypes.c_int,
         ]
+        try:
+            lib.w2t_decode_batch_scaled.restype = ctypes.c_int
+            lib.w2t_decode_batch_scaled.argtypes = (
+                lib.w2t_decode_batch.argtypes + [ctypes.c_int, ctypes.c_int]
+            )
+        except AttributeError:   # older prebuilt .so without the symbol
+            pass
         _lib = lib
         return _lib
 
@@ -64,15 +71,26 @@ class BatchJpegDecoder:
 
     native=True uses the C++ thread pool; native=False (or shim unavailable)
     uses cv2 per frame. Both paths produce RGB.
+
+    scale_denom > 1 requests libjpeg's DCT-domain scaled decode at
+    1/scale_denom (2, 4, 8): (height, width) are then the POST-scale output
+    dims (= ceil(src/scale_denom)). Decoding Waymo 1280x1920 at 1/2 does
+    ~4x less IDCT work — the host-ingestion lever for the 512x768 production
+    preset. The cv2 fallback approximates it with full decode + INTER_AREA.
     """
 
     def __init__(self, height: int, width: int, n_threads: int = 0,
-                 native: bool = True):
+                 native: bool = True, scale_denom: int = 1):
+        if scale_denom not in (1, 2, 4, 8):
+            raise ValueError(f"scale_denom must be 1/2/4/8, got {scale_denom}")
         self.height = height
         self.width = width
+        self.scale_denom = scale_denom
         self._handle = None
         self._lib = _load() if native else None
-        if self._lib is not None:
+        if self._lib is not None and (
+            scale_denom == 1 or hasattr(self._lib, "w2t_decode_batch_scaled")
+        ):
             self._handle = self._lib.w2t_decoder_create(n_threads)
 
     @property
@@ -88,19 +106,33 @@ class BatchJpegDecoder:
             srcs = (ctypes.c_char_p * n)(*jpegs)
             lens = (ctypes.c_size_t * n)(*[len(b) for b in jpegs])
             stride = self.height * self.width * 3
-            self._lib.w2t_decode_batch(
-                self._handle, n,
-                ctypes.cast(srcs, ctypes.POINTER(ctypes.c_char_p)),
-                lens,
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                stride, self.height, self.width,
-            )
+            dst = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            if self.scale_denom == 1:
+                self._lib.w2t_decode_batch(
+                    self._handle, n,
+                    ctypes.cast(srcs, ctypes.POINTER(ctypes.c_char_p)),
+                    lens, dst, stride, self.height, self.width,
+                )
+            else:
+                self._lib.w2t_decode_batch_scaled(
+                    self._handle, n,
+                    ctypes.cast(srcs, ctypes.POINTER(ctypes.c_char_p)),
+                    lens, dst, stride, self.height, self.width,
+                    1, self.scale_denom,
+                )
             return out
         # cv2 fallback
+        import cv2
+
         from waymo_2d_tracking_tpu.data.preprocess import decode_jpeg_host
 
         for i, b in enumerate(jpegs):
             img = decode_jpeg_host(b)
+            if self.scale_denom > 1:
+                img = cv2.resize(
+                    img, (self.width, self.height),
+                    interpolation=cv2.INTER_AREA,
+                )
             if img.shape[:2] == (self.height, self.width):
                 out[i] = img
         return out

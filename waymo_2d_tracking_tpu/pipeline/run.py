@@ -56,7 +56,7 @@ class SegmentFrames:
     def num_frames(self) -> int:
         return len(self.timestamps)
 
-    def chunk_iter(self, chunk: int) -> Iterator[np.ndarray]:
+    def chunk_iter(self, chunk: int, scale_denom: int = 1) -> Iterator[np.ndarray]:
         """Yield (chunk, H, W, 3) uint8 arrays; the last chunk is padded by
         REPEATING the final real frame (not zeros: the tracker scan treats
         pad frames as real ones, and a zero tail of chunk_frames > max_age
@@ -75,11 +75,24 @@ class SegmentFrames:
             from waymo_2d_tracking_tpu.data.preprocess import decode_jpeg_host
 
             first = decode_jpeg_host(self.jpeg_frames[0])
-            decoder = BatchJpegDecoder(first.shape[0], first.shape[1])
+            # libjpeg scaled-output rounding: ceil(src / denom)
+            sh = -(-first.shape[0] // scale_denom)
+            sw = -(-first.shape[1] // scale_denom)
+            decoder = BatchJpegDecoder(sh, sw, scale_denom=scale_denom)
         try:
             for start in range(0, t, chunk):
                 if self.frames is not None:
                     block = self.frames[start : start + chunk]
+                    if scale_denom > 1:
+                        import cv2
+
+                        h, w = block.shape[1:3]
+                        sh, sw = -(-h // scale_denom), -(-w // scale_denom)
+                        block = np.stack([
+                            cv2.resize(f, (sw, sh),
+                                       interpolation=cv2.INTER_AREA)
+                            for f in block
+                        ])
                 else:
                     block = decoder.decode(self.jpeg_frames[start : start + chunk])
                 if block.shape[0] < chunk:
@@ -160,11 +173,12 @@ class SegmentPipeline:
         stats). The tracker state carries across chunks within the segment."""
         cfg = self.cfg
         chunk = cfg.pipeline.chunk_frames
+        sd = cfg.pipeline.decode_scale_denom
         t_total = segment.num_frames
-        if segment.frames is not None:
+        if segment.frames is not None and sd == 1:
             src_hw = tuple(segment.frames.shape[1:3])
         else:
-            it = segment.chunk_iter(1)
+            it = segment.chunk_iter(1, scale_denom=sd)
             try:
                 src_hw = tuple(next(it).shape[1:3])
             finally:
@@ -176,7 +190,8 @@ class SegmentPipeline:
         scale = 1.0
         t0 = time.perf_counter()
         for dev_chunk in prefetch_to_device(
-            segment.chunk_iter(chunk), depth=cfg.pipeline.prefetch_depth
+            segment.chunk_iter(chunk, scale_denom=sd),
+            depth=cfg.pipeline.prefetch_depth,
         ):
             if detections_only:
                 dets, scale = self._detect_chunk(self.params, dev_chunk, src_hw)
@@ -193,13 +208,16 @@ class SegmentPipeline:
         # concat chunks, trim padding frames
         stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outputs_host)
         stacked = jax.tree.map(lambda x: x[:t_total], stacked)
+        # network -> ORIGINAL source pixels: the letterbox scale maps to the
+        # (possibly decode-downscaled) source, the decode scale the rest
+        total_scale = float(scale) / sd
         if detections_only:
             records = subm.records_from_detections(
                 stacked,
                 segment.context_name,
                 segment.timestamps,
                 segment.camera_name,
-                scale=float(scale),
+                scale=total_scale,
             )
         else:
             records = subm.records_from_track_outputs(
@@ -207,7 +225,7 @@ class SegmentPipeline:
                 segment.context_name,
                 segment.timestamps,
                 segment.camera_name,
-                scale=float(scale),
+                scale=total_scale,
             )
         stats = {
             "context": segment.context_name,

@@ -88,8 +88,10 @@ class ShardedSegmentRunner:
         pad_group = list(group) + [None] * (g - len(group))
         t_max = max(s.num_frames for s in group)
 
+        sd = cfg.pipeline.decode_scale_denom
         iters = [
-            s.chunk_iter(chunk) if s is not None else None for s in pad_group
+            s.chunk_iter(chunk, scale_denom=sd) if s is not None else None
+            for s in pad_group
         ]
         src_hw = None
         batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
@@ -159,17 +161,20 @@ class ShardedSegmentRunner:
         return stats
 
     def _scale(self, seg: SegmentFrames, cfg) -> float:
-        """Letterbox scale (same rule as data.preprocess.letterbox_batch)."""
-        if seg.frames is not None:
+        """network -> ORIGINAL pixels scale: the letterbox scale over the
+        (possibly decode-downscaled) source, composed with the decode
+        scale (same rule as SegmentPipeline.run_segment)."""
+        sd = cfg.pipeline.decode_scale_denom
+        if seg.frames is not None and sd == 1:
             hs, ws = seg.frames.shape[1:3]
         else:
-            it = seg.chunk_iter(1)
+            it = seg.chunk_iter(1, scale_denom=sd)
             try:
                 hs, ws = next(it).shape[1:3]
             finally:
                 it.close()
         hd, wd = cfg.detector.image_size
-        return min(hd / hs, wd / ws)
+        return min(hd / hs, wd / ws) / sd
 
 
 def run_segments_sharded(
