@@ -49,13 +49,16 @@ def bench_tracker_only(num_frames=200, repeats=20):
     }
 
 
-def bench_detect_track(num_frames=128, repeats=5, preset="production",
+def bench_detect_track(num_frames=128, repeats=5, preset="headline",
                        src_hw=None, metric=None):
     """End-to-end detect+track on synthetic frames (the headline metric).
 
-    preset: name of a configs/<preset>.yaml ('production' is the headline
-    point — see that file for the measured rationale; 'fast' is the
-    >=1500 fps architecture point). src_hw=(1280,1920) additionally runs the
+    preset: name of a configs/<preset>.yaml. 'headline' (default since
+    round 3) is the quality-bearing >=1500 fps/chip point: r18 s2d +
+    reid128, appearance association AND long-horizon re-ID recovery ON,
+    golden-clip tracker quality identical to config-3 (see that file).
+    'production' is the larger r34 point (851-922 fps); 'fast' the IoU-only
+    speed demonstration. src_hw=(1280,1920) additionally runs the
     device-side letterbox/resize from Waymo-native frames.
     """
     import os
@@ -133,6 +136,9 @@ def main():
         return
     if "--fast" in sys.argv:
         print(json.dumps(bench_detect_track(preset="fast")))
+        return
+    if "--production" in sys.argv:
+        print(json.dumps(bench_detect_track(preset="production")))
         return
     if "--config4" in sys.argv:
         from waymo_2d_tracking_tpu.pipeline.bench_e2e import run_multicam_bench

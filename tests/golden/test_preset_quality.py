@@ -31,6 +31,16 @@ def _run_preset_tracker(name):
     return evaluate_mot(gt_to_frames(gt), track_outputs_to_frames(outs, CLIP.num_frames))
 
 
+def test_headline_preset_quality_floor():
+    """The bench.py default (round 3): greedy + ReID + recovery measured
+    IDENTICAL to config-3 (auction) on this clip — MOTA 0.9389, IDF1
+    0.9671, IDSW 2 (BASELINE.md round-3 table). Floors sit just under."""
+    m = _run_preset_tracker("headline.yaml")
+    assert m.mota >= 0.92, m.as_dict()
+    assert m.idf1 >= 0.95, m.as_dict()
+    assert m.num_idsw <= 3, m.as_dict()
+
+
 def test_production_preset_quality_floor():
     m = _run_preset_tracker("production.yaml")
     assert m.mota >= 0.90, m.as_dict()

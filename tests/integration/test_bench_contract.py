@@ -41,3 +41,47 @@ def test_bench_config1_regression_floor():
     assert r.returncode == 0, r.stderr[-2000:]
     payload = json.loads(r.stdout.strip().splitlines()[-1])
     assert payload["value"] >= 1000.0, payload
+
+
+def _tpu_env(repo):
+    """Subprocess env targeting the REAL default backend (conftest pins this
+    process to CPU; strip that so the child sees the axon TPU plugin)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.slow
+def test_bench_headline_floor_on_tpu():
+    """Per-preset floor at HALF the measured headline number (1573-1721
+    fps/chip round 3): catches a 2x regression whenever a real chip is
+    present, instead of only the catastrophic config-1 floor. Skips off-TPU.
+    Marked slow: one tunnel compile is minutes."""
+    import pytest
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+    env = _tpu_env(repo)
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; print(jax.devices()[0].platform)"],
+        capture_output=True, text=True, env=env, timeout=180,
+    )
+    platform = probe.stdout.strip().lower()
+    if probe.returncode != 0 or platform in ("", "cpu"):
+        pytest.skip(f"no TPU backend here (platform={platform!r})")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, env=env, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["metric"] == "detect_track_frames_per_sec_per_chip"
+    assert payload["value"] >= 800.0, payload

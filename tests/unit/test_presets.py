@@ -22,6 +22,7 @@ def test_presets_exist():
         "config1_tracker_cpu.yaml", "config2_detector_iou.yaml",
         "config3_reid_fused.yaml", "config4_multicam.yaml",
         "config5_full_sweep.yaml", "production.yaml", "fast.yaml",
+        "headline.yaml",
     }
     assert required <= names, required - names
 
@@ -66,3 +67,31 @@ def test_acceptance_matrix_semantics():
     for cfg, scale in ((prod, 2.5), (fast, 1280 / 384)):
         h, w = cfg.detector.image_size
         assert abs(1280 / h - 1920 / w) < 1e-9
+
+
+def test_headline_preset_semantics():
+    """bench.py default since round 3: appearance association AND recovery
+    must stay ON (the quality-bearing claim of BASELINE.md round 3)."""
+    hl = load_config(os.path.join(CONFIGS_DIR, "headline.yaml"))
+    assert hl.detector.embed_dim == 128 and hl.tracker.embed_dim == 128
+    assert hl.tracker.appearance_weight > 0
+    assert hl.tracker.reid_recovery and hl.tracker.gallery_size > 1
+    assert hl.tracker.assignment == "greedy"
+    h, w = hl.detector.image_size
+    assert abs(1280 / h - 1920 / w) < 1e-9   # exact Waymo 2:3 letterbox
+    assert hl.pipeline.chunk_frames == 128
+
+
+def test_invalid_assignment_rejected():
+    """ADVICE r2: a typo'd tracker.assignment must raise, not silently fall
+    back to the auction path."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from waymo_2d_tracking_tpu.config import TrackerConfig
+
+    with _pytest.raises(ValueError, match="assignment"):
+        TrackerConfig(assignment="greeedy")
+    with _pytest.raises(ValueError, match="assignment"):
+        dataclasses.replace(TrackerConfig(), assignment="hungarian")

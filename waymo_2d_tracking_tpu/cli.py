@@ -61,13 +61,29 @@ def cmd_track(args):
                                     rng=jax.random.PRNGKey(args.seed))
         if args.params:
             pipeline.params = _load_params(args.params)
-        groups = {}
-        for seg in iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras):
-            groups.setdefault(seg.context_name, []).append(seg)
+        segs = iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras)
         with trace(args.profile):
-            for ctx in sorted(groups):
-                for s in pipeline.run_segments_group(groups[ctx], args.out_dir):
+            if args.sharded:
+                # contexts fanned across the mesh, one 5-camera context per
+                # chip (the north-star deployment shape)
+                from waymo_2d_tracking_tpu.pipeline.sharded import (
+                    run_context_groups_sharded,
+                )
+
+                for s in run_context_groups_sharded(
+                    pipeline, segs, args.out_dir,
+                    fail_after=args.fail_after_n_segments,
+                ):
                     print(json.dumps(s))
+            else:
+                groups = {}
+                for seg in segs:
+                    groups.setdefault(seg.context_name, []).append(seg)
+                for ctx in sorted(groups):
+                    for s in pipeline.run_segments_group(
+                        groups[ctx], args.out_dir
+                    ):
+                        print(json.dumps(s))
         return
 
     pipeline = SegmentPipeline(cfg, rng=jax.random.PRNGKey(args.seed))
@@ -187,7 +203,21 @@ def cmd_eval(args):
 
     pred = to_frames(subm.read_jsonl(args.pred))
     gt = to_frames(subm.read_jsonl(args.gt))
+    # Intern object ids instead of hashing (VERDICT r2 weak #4): hash() is
+    # per-process salted (irreproducible across runs) and collides around
+    # 2^15.5 distinct ids, silently merging trajectories. Ids are interned
+    # per (context, camera) namespace so the same string in two segments
+    # never aliases in the pooled pass.
+    intern: dict = {}
+
+    def _ids(key, rows_):
+        return np.array(
+            [intern.setdefault((key, r.object_id), len(intern)) for r in rows_],
+            dtype=np.int64,
+        )
+
     agg = {}
+    all_gt_frames, all_hyp_frames = [], []
     # union of keys: predictions for (context, camera) pairs absent from the
     # GT file count as false positives (empty GT frames), not silent drops
     for key in sorted(set(gt) | set(pred)):
@@ -197,15 +227,24 @@ def cmd_eval(args):
             g = gt.get(key, {}).get(ts, [])
             h = pred.get(key, {}).get(ts, [])
             gt_frames.append(
-                (np.array([hash(r.object_id) % (2**31) for r in g]),
+                (_ids(key, g),
                  np.array([r.to_xyxy() for r in g]).reshape(-1, 4))
             )
             hyp_frames.append(
-                (np.array([hash(r.object_id) % (2**31) for r in h]),
+                (_ids(key, h),
                  np.array([r.to_xyxy() for r in h]).reshape(-1, 4))
             )
         m = evaluate_mot(gt_frames, hyp_frames, iou_threshold=args.iou)
         agg[f"{key[0]}/{key[1]}"] = m.as_dict()
+        all_gt_frames.extend(gt_frames)
+        all_hyp_frames.extend(hyp_frames)
+    # pooled CLEAR-MOT over the whole split (the one number to compare
+    # against a reference val-sweep run): exact, because segment-interned
+    # ids never collide across segments and the per-gt match carry can't
+    # cross a segment boundary (its gt id ends with the segment).
+    if len(agg) > 1:
+        m = evaluate_mot(all_gt_frames, all_hyp_frames, iou_threshold=args.iou)
+        agg["OVERALL"] = m.as_dict()
     print(json.dumps(agg, indent=2))
 
 
@@ -249,6 +288,8 @@ def cmd_train(args):
             flip_augment=cfg.train.aug_flip,
             scale_range=tuple(cfg.train.aug_scale_range),
             color_jitter=cfg.train.aug_color_jitter,
+            num_workers=cfg.train.input_workers,
+            prefetch_depth=cfg.train.input_prefetch,
         )
     else:  # synthetic smoke-training
         rng = np.random.default_rng(args.seed)
@@ -265,6 +306,17 @@ def cmd_train(args):
         checkpoint_every=cfg.train.checkpoint_every,
     )
     trainer.save_checkpoint(state)
+    # serving artifact: inference variables (EMA params when enabled) under
+    # <checkpoint_dir>/export — the path `w2t detect/track --params` loads
+    import jax as _jax
+    import orbax.checkpoint as ocp
+
+    export_dir = os.path.join(cfg.train.checkpoint_dir, "export")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(export_dir, _jax.device_get(trainer.eval_variables(state)),
+               force=True)
+    ckptr.wait_until_finished()
+    print(json.dumps({"step": int(state.step), "export": export_dir}))
 
 
 def cmd_link(args):
@@ -318,16 +370,24 @@ def cmd_convert(args):
 
 def cmd_bench(args):
     cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")]
-    for flag in ("config1", "config4", "config5", "fast", "host", "src_full"):
+    for flag in ("config1", "config4", "config5", "fast", "production",
+                 "host", "src_full"):
         if getattr(args, flag):
             cmd.append("--" + flag.replace("_", "-"))
     os.execv(sys.executable, cmd)
 
 
 def _load_params(path):
+    """Load inference variables from an orbax dir: either a train export /
+    import-weights artifact ({params, batch_stats}) or a full TrainState
+    checkpoint (step_N dir), from which the inference collections are
+    extracted."""
     import orbax.checkpoint as ocp
 
-    return ocp.StandardCheckpointer().restore(path)
+    tree = ocp.StandardCheckpointer().restore(path)
+    if isinstance(tree, dict) and "params" in tree and "opt_state" in tree:
+        return {k: tree[k] for k in ("params", "batch_stats") if k in tree}
+    return tree
 
 
 def build_parser():
@@ -428,6 +488,8 @@ def build_parser():
     sp.add_argument("--config5", action="store_true", help="TTA e2e row")
     sp.add_argument("--fast", action="store_true",
                     help="configs/fast.yaml speed-preset row")
+    sp.add_argument("--production", action="store_true",
+                    help="configs/production.yaml r34 quality row")
     sp.add_argument("--host", action="store_true",
                     help="host JPEG-decode ingestion row")
     sp.add_argument("--src-full", dest="src_full", action="store_true",

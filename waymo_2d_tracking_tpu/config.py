@@ -71,6 +71,15 @@ class TrackerConfig:
                                       # Pallas kernel (ops/fused_assoc.py) —
                                       # fewer per-frame dispatches in the scan
 
+    def __post_init__(self):
+        # a typo'd yaml value ('greeedy') used to fall through silently to
+        # the auction path (ADVICE r2)
+        if self.assignment not in ("auction", "greedy"):
+            raise ValueError(
+                f"tracker.assignment must be 'auction' or 'greedy', "
+                f"got {self.assignment!r}"
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class DetectorConfig:
@@ -157,6 +166,10 @@ class TrainConfig:
     aug_flip: bool = True
     aug_scale_range: Tuple[float, float] = (0.8, 1.25)  # multi-scale jitter
     aug_color_jitter: float = 0.2   # brightness/contrast/saturation +-20%
+    # input pipeline (SURVEY.md §3.3): background decode/augment threads +
+    # device prefetch depth so the pjit train step is never host-starved
+    input_workers: int = 2
+    input_prefetch: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -95,19 +95,14 @@ def convert_segments_to_coco(segments_dir: str, out_dir: str) -> int:
     return img_id
 
 
-def coco_batch_iterator(
-    coco_dir: str,
-    batch_size: int,
-    image_hw: Tuple[int, int],
-    max_gt: int = 64,
-    seed: int = 0,
-    flip_augment: bool = True,
-    scale_range: Tuple[float, float] = (1.0, 1.0),
-    color_jitter: float = 0.0,
-    min_box_px: float = 2.0,
-) -> Iterator[dict]:
-    """Infinite shuffled batches for the trainer: host decode + letterbox
-    (numpy/cv2) with boxes transformed accordingly.
+class CocoTrainDataset:
+    """Decoded+augmented training batches from a COCO dataset dir.
+
+    ``make_batch(batch_index)`` is pure in the batch index (a fresh
+    ``np.random.default_rng((seed, batch_index))`` drives sampling and every
+    augmentation draw), so batches are deterministic REGARDLESS of how many
+    workers produce them or in what order — the property the parallel input
+    pipeline below relies on.
 
     Augmentation (round 2, VERDICT r1 missing #4 — the competition-standard
     pipeline): random horizontal flip; multi-scale jitter (``scale_range``
@@ -117,41 +112,66 @@ def coco_batch_iterator(
     each in 1 +- ``color_jitter``). Boxes are transformed with the geometry
     and dropped when they shrink below ``min_box_px`` on either side.
     """
-    import cv2
-    import jax.numpy as jnp
 
-    with open(os.path.join(coco_dir, "annotations.json")) as f:
-        coco = json.load(f)
-    anns_by_img = {}
-    for a in coco["annotations"]:
-        anns_by_img.setdefault(a["image_id"], []).append(a)
-    items = [(im["id"], im["file_name"]) for im in coco["images"]]
-    rng = np.random.default_rng(seed)
-    hd, wd = image_hw
+    def __init__(
+        self,
+        coco_dir: str,
+        batch_size: int,
+        image_hw: Tuple[int, int],
+        max_gt: int = 64,
+        seed: int = 0,
+        flip_augment: bool = True,
+        scale_range: Tuple[float, float] = (1.0, 1.0),
+        color_jitter: float = 0.0,
+        min_box_px: float = 2.0,
+    ):
+        with open(os.path.join(coco_dir, "annotations.json")) as f:
+            coco = json.load(f)
+        self.anns_by_img: dict = {}
+        for a in coco["annotations"]:
+            self.anns_by_img.setdefault(a["image_id"], []).append(a)
+        self.items = [(im["id"], im["file_name"]) for im in coco["images"]]
+        self.coco_dir = coco_dir
+        self.batch_size = batch_size
+        self.image_hw = image_hw
+        self.max_gt = max_gt
+        self.seed = seed
+        self.flip_augment = flip_augment
+        self.scale_range = scale_range
+        self.color_jitter = color_jitter
+        self.min_box_px = min_box_px
 
-    while True:
-        idx = rng.choice(len(items), size=batch_size, replace=len(items) < batch_size)
+    def make_batch(self, batch_index: int) -> dict:
+        """One host-side batch (numpy pytree): decode, augment, letterbox."""
+        import cv2
+
+        rng = np.random.default_rng((self.seed, batch_index))
+        batch_size, max_gt = self.batch_size, self.max_gt
+        hd, wd = self.image_hw
+        items, anns_by_img = self.items, self.anns_by_img
+        idx = rng.choice(len(items), size=batch_size,
+                         replace=len(items) < batch_size)
         images = np.zeros((batch_size, hd, wd, 3), np.float32)
         gt_boxes = np.zeros((batch_size, max_gt, 4), np.float32)
         gt_classes = np.zeros((batch_size, max_gt), np.int32)
         gt_valid = np.zeros((batch_size, max_gt), bool)
         for n, i in enumerate(idx):
             img_id, fname = items[i]
-            bgr = cv2.imread(os.path.join(coco_dir, "images", fname))
+            bgr = cv2.imread(os.path.join(self.coco_dir, "images", fname))
             rgb = bgr[:, :, ::-1].astype(np.float32) / 255.0
             hs, ws = rgb.shape[:2]
-            scale = min(hd / hs, wd / ws) * float(rng.uniform(*scale_range))
+            scale = min(hd / hs, wd / ws) * float(rng.uniform(*self.scale_range))
             eh, ew = max(int(round(hs * scale)), 1), max(int(round(ws * scale)), 1)
             resized = cv2.resize(rgb, (ew, eh), interpolation=cv2.INTER_LINEAR)
-            if color_jitter > 0.0:
-                cj = color_jitter
+            if self.color_jitter > 0.0:
+                cj = self.color_jitter
                 resized = resized * (1.0 + rng.uniform(-cj, cj))      # brightness
                 mean = resized.mean()
                 resized = (resized - mean) * (1.0 + rng.uniform(-cj, cj)) + mean
                 gray = resized.mean(axis=2, keepdims=True)            # saturation
                 resized = gray + (resized - gray) * (1.0 + rng.uniform(-cj, cj))
                 resized = np.clip(resized, 0.0, 1.0)
-            flip = flip_augment and rng.uniform() < 0.5
+            flip = self.flip_augment and rng.uniform() < 0.5
             if flip:
                 resized = resized[:, ::-1]
             # random placement (small image) / random crop (large image)
@@ -175,7 +195,7 @@ def coco_batch_iterator(
                     x1, x2 = ew - x2, ew - x1
                 x1, x2 = np.clip([x1 + ox, x2 + ox], 0.0, float(wd))
                 y1, y2 = np.clip([y1 + oy, y2 + oy], 0.0, float(hd))
-                if x2 - x1 < min_box_px or y2 - y1 < min_box_px:
+                if x2 - x1 < self.min_box_px or y2 - y1 < self.min_box_px:
                     continue  # cropped away / degenerate
                 gt_boxes[n, g] = [x1, y1, x2, y2]
                 gt_classes[n, g] = a["category_id"] - 1
@@ -187,9 +207,77 @@ def coco_batch_iterator(
         images = (images - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
             IMAGENET_STD, np.float32
         )
-        yield {
-            "images": jnp.asarray(images),
-            "gt_boxes": jnp.asarray(gt_boxes),
-            "gt_classes": jnp.asarray(gt_classes),
-            "gt_valid": jnp.asarray(gt_valid),
+        return {
+            "images": images,
+            "gt_boxes": gt_boxes,
+            "gt_classes": gt_classes,
+            "gt_valid": gt_valid,
         }
+
+    def batches(self, num_workers: int = 0) -> Iterator[dict]:
+        """Infinite ordered batch stream; ``num_workers`` > 0 decodes and
+        augments in a thread pool with a bounded look-ahead window (cv2
+        releases the GIL in imread/resize, so workers overlap for real).
+        Same batches in the same order for any worker count."""
+        if num_workers <= 0:
+            i = 0
+            while True:
+                yield self.make_batch(i)
+                i += 1
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = num_workers + 2
+        with ThreadPoolExecutor(num_workers) as pool:
+            pending = {i: pool.submit(self.make_batch, i)
+                       for i in range(window)}
+            i = 0
+            while True:
+                batch = pending.pop(i).result()
+                pending[i + window] = pool.submit(self.make_batch, i + window)
+                yield batch
+                i += 1
+
+
+def coco_batch_iterator(
+    coco_dir: str,
+    batch_size: int,
+    image_hw: Tuple[int, int],
+    max_gt: int = 64,
+    seed: int = 0,
+    flip_augment: bool = True,
+    scale_range: Tuple[float, float] = (1.0, 1.0),
+    color_jitter: float = 0.0,
+    min_box_px: float = 2.0,
+    num_workers: int = 0,
+    prefetch_depth: int = 0,
+) -> Iterator[dict]:
+    """Infinite shuffled training batches (SURVEY.md §3.3 input pipeline).
+
+    num_workers > 0: decode/augment in background threads (ordered,
+    deterministic — see CocoTrainDataset.make_batch).
+    prefetch_depth > 0: stage batches onto the device ahead of the train
+    step via data/prefetch.DevicePrefetcher (overlaps H2D with compute).
+    With both at 0 this is the round-2 synchronous behavior.
+    """
+    import jax.numpy as jnp
+
+    ds = CocoTrainDataset(
+        coco_dir, batch_size, image_hw, max_gt=max_gt, seed=seed,
+        flip_augment=flip_augment, scale_range=scale_range,
+        color_jitter=color_jitter, min_box_px=min_box_px,
+    )
+    gen = ds.batches(num_workers=num_workers)
+    if prefetch_depth > 0:
+        from waymo_2d_tracking_tpu.data.prefetch import DevicePrefetcher
+
+        # context-managed: a train loop that stops after N steps (or dies)
+        # releases the prefetch worker + the batch producer deterministically
+        with DevicePrefetcher(gen, depth=prefetch_depth) as pf:
+            yield from pf
+        return
+    try:
+        for batch in gen:
+            yield {k: jnp.asarray(v) for k, v in batch.items()}
+    finally:
+        gen.close()

@@ -129,6 +129,15 @@ class BatchJpegDecoder:
         for i, b in enumerate(jpegs):
             img = decode_jpeg_host(b)
             if self.scale_denom > 1:
+                # match the native decoder's failure semantics (ADVICE r2):
+                # only resize sources whose full-res dims correspond to this
+                # decoder's scaled (height, width) — libjpeg scaled output is
+                # ceil(src/denom). A wrong-sized source stays a zero frame
+                # instead of being silently aspect-distorted.
+                sh = -(-img.shape[0] // self.scale_denom)
+                sw = -(-img.shape[1] // self.scale_denom)
+                if (sh, sw) != (self.height, self.width):
+                    continue
                 img = cv2.resize(
                     img, (self.width, self.height),
                     interpolation=cv2.INTER_AREA,

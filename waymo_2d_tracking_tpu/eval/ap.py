@@ -117,7 +117,13 @@ def evaluate_detections(
     valid = ~np.isnan(per_thr_cls)
     out["mAP"] = float(np.mean(per_thr_cls[valid])) if valid.any() else 0.0
     for label, thr in (("AP50", 0.5), ("AP75", 0.75)):
-        t = int(np.argmin(np.abs(np.asarray(iou_thrs) - thr)))
+        # only report the key when the threshold is actually evaluated —
+        # nearest-argmin used to silently relabel AP at a different
+        # threshold under a custom iou_thrs (ADVICE r2)
+        diffs = np.abs(np.asarray(iou_thrs, float) - thr)
+        t = int(np.argmin(diffs))
+        if diffs[t] > 1e-6:
+            continue
         row = per_thr_cls[t]
         out[label] = float(np.nanmean(row)) if (~np.isnan(row)).any() else 0.0
     for cls in range(num_classes):

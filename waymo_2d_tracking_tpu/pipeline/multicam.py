@@ -1,13 +1,20 @@
 """Multi-camera orchestration (component C18, BASELINE config 4).
 
-All 5 cameras of a frame go through ONE shared-backbone detector batch
+All cameras of a frame go through ONE shared-backbone detector batch
 (camera = batch axis — "shared backbone batch across cameras"), and each
 camera keeps its own tracker state, advanced by a ``vmap``-ped track_step:
 S slots x 5 cameras of Kalman/assignment cost the same dispatch as one.
 The scan carry is the stacked (num_cams, ...) TrackerState pytree.
+
+Production contract (round 3): chunked streaming with a FIXED chunk size
+(one compile per source resolution, not one per segment length), repeat-pad
+tails (zero tails of chunk > max_age frames age every live track out of the
+final table — the run.py c150d5f bug class), and per-camera ``.gallery.npz``
+sidecars so `w2t link` can unify identities across a config-4 context.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -25,6 +32,23 @@ def init_multicam_state(cfg, num_cams: int) -> TrackerState:
     """Stacked per-camera tracker states (leading axis = camera)."""
     single = init_state(cfg.tracker)
     return jax.tree.map(lambda x: jnp.stack([x] * num_cams), single)
+
+
+def write_gallery_sidecar(path_jsonl: str, state, cam_index=None) -> None:
+    """Final track-table embeddings next to a track JSONL, for `w2t link`.
+
+    state: host TrackerState (optionally with a leading camera/shard axis
+    selected by cam_index). Matches run.py's sidecar contract.
+    """
+    sel = (lambda x: x[cam_index]) if cam_index is not None else (lambda x: x)
+    if state.embed.shape[-1] <= 1:
+        return
+    np.savez(
+        path_jsonl[: -len(".jsonl")] + ".gallery.npz",
+        track_id=np.asarray(sel(state.track_id)),
+        status=np.asarray(sel(state.status)),
+        embed=np.asarray(sel(state.embed), np.float32),
+    )
 
 
 class MultiCamPipeline:
@@ -71,39 +95,70 @@ class MultiCamPipeline:
 
     def run_segments_group(self, segments, out_dir: str):
         """CLI entry: a list of per-camera SegmentFrames of the SAME context
-        (equal timestamps) -> per-camera submission JSONL files + stats.
+        (equal timestamps) -> per-camera submission JSONL files (+ gallery
+        sidecars) + stats.
 
-        Cameras are stacked on axis 1 so every chunk is one shared-backbone
-        batch (BASELINE config 4)."""
-        import os
-
+        Streams fixed-size chunks through ONE jitted step per source
+        resolution: per-camera ``chunk_iter`` blocks are stacked on axis 1
+        so every chunk is one shared-backbone batch (BASELINE config 4).
+        """
         from waymo_2d_tracking_tpu.io_out import submission as subm
 
+        cfg = self.cfg
+        chunk = cfg.pipeline.chunk_frames
+        sd = cfg.pipeline.decode_scale_denom
         segments = sorted(segments, key=lambda s: s.camera_name)
         assert len({tuple(s.timestamps) for s in segments}) == 1, (
             "multicam group needs aligned timestamps"
         )
         assert len(segments) == self.num_cams
         ctx = segments[0].context_name
-        per_cam = []
-        for seg in segments:
-            chunks = list(seg.chunk_iter(seg.num_frames))  # one block, full T
-            per_cam.append(chunks[0][: seg.num_frames])
-        frames = np.stack(per_cam, axis=1)                  # (T, cams, H, W, 3)
-        states, outputs, scale = self.run(frames)
+        t_total = segments[0].num_frames
+
+        states = init_multicam_state(cfg, self.num_cams)
+        iters = [s.chunk_iter(chunk, scale_denom=sd) for s in segments]
+        outs: List = []
+        src_hw = None
+        scale = 1.0
+        try:
+            for _start in range(0, t_total, chunk):
+                blocks = [next(it) for it in iters]
+                hws = {b.shape[1:3] for b in blocks}
+                assert len(hws) == 1, (
+                    "multicam shared-backbone batch needs equal-resolution "
+                    f"cameras, got {sorted(hws)} — run mixed-resolution "
+                    "cameras as separate single-camera segments instead"
+                )
+                frames = np.stack(blocks, axis=1)   # (chunk, cams, H, W, 3)
+                if src_hw is None:
+                    src_hw = tuple(frames.shape[2:4])
+                states, outputs, scale = self._chunk_step(
+                    self.params, states, jnp.asarray(frames), src_hw
+                )
+                outs.append(jax.device_get(outputs))
+        finally:
+            for it in iters:
+                it.close()
+
+        stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
+        stacked = jax.tree.map(lambda x: x[:t_total], stacked)
+        final_states = jax.device_get(states)
+        total_scale = float(scale) / sd
 
         os.makedirs(out_dir, exist_ok=True)
         stats = []
         for ci, seg in enumerate(segments):
-            cam_out = jax.tree.map(lambda x: x[:, ci], outputs)
+            cam_out = jax.tree.map(lambda x: x[:, ci], stacked)
             records = subm.records_from_track_outputs(
                 cam_out, ctx, seg.timestamps, seg.camera_name,
-                scale=float(scale),
+                scale=total_scale,
             )
             path = os.path.join(out_dir, f"{ctx}_{seg.camera_name}.jsonl")
             subm.write_jsonl(path, records)
+            write_gallery_sidecar(path, final_states, cam_index=ci)
             stats.append({"context": ctx, "camera": seg.camera_name,
-                          "frames": seg.num_frames, "records": len(records)})
+                          "frames": seg.num_frames, "records": len(records),
+                          "tracks": len({r.object_id for r in records})})
         return stats
 
     def run(
@@ -111,7 +166,13 @@ class MultiCamPipeline:
         frames: np.ndarray,            # (T, cams, H, W, 3) uint8 host array
         states: TrackerState = None,
     ):
-        """Track a multi-camera clip. Returns (states, outputs (T, cams, S))."""
+        """Track a multi-camera clip. Returns (states, outputs (T, cams, S)).
+
+        The tail chunk is padded by REPEATING the final real frame — zeros
+        would age every live track out through the pad tail (chunk_frames >
+        max_age blank frames), wiping the final per-camera track tables that
+        feed the gallery sidecars (same fix as run.py commit c150d5f).
+        """
         cfg = self.cfg
         chunk = cfg.pipeline.chunk_frames
         t_total = frames.shape[0]
@@ -124,7 +185,7 @@ class MultiCamPipeline:
             if block.shape[0] < chunk:
                 pad = chunk - block.shape[0]
                 block = np.concatenate(
-                    [block, np.zeros((pad,) + block.shape[1:], block.dtype)]
+                    [block, np.repeat(block[-1:], pad, axis=0)]
                 )
             states, outputs, scale = self._chunk_step(
                 self.params, states, jnp.asarray(block), src_hw

@@ -101,31 +101,52 @@ class ShardedSegmentRunner:
         )
         outputs_host = []
         last_blocks: List = [None] * g
-        for start in range(0, t_max, chunk):
-            blocks: List = [None] * g
-            for idx, (s, it) in enumerate(zip(pad_group, iters)):
-                if it is not None and start < s.num_frames:
-                    blocks[idx] = next(it)
-                    last_blocks[idx] = blocks[idx]
-            # start < t_max guarantees at least one live segment in the group
-            ref = next(b for b in blocks if b is not None)
-            for idx, b in enumerate(blocks):
-                if b is None:
-                    prev = last_blocks[idx]
-                    blocks[idx] = (
-                        np.repeat(prev[-1:], chunk, axis=0)
-                        if prev is not None else np.zeros_like(ref)
-                    )
-            frames = np.stack(blocks)                       # (G, chunk, H, W, 3)
-            if src_hw is None:
-                src_hw = tuple(frames.shape[2:4])
-            dev_frames = jax.device_put(frames, batch_sharding)
-            step = self._sharded_step(src_hw)
-            states, outputs = step(self.pipeline.params, states, dev_frames)
-            outputs_host.append(jax.device_get(outputs))
-        for it in iters:
-            if it is not None:
-                it.close()
+        # Per-segment state snapshots, taken at the chunk where the segment's
+        # real frames end: a shorter segment in a lockstep group keeps
+        # stepping on repeats of its frozen last frame afterwards, which
+        # would keep EMA-updating its embeddings and advancing ages/hits —
+        # diverging its .gallery.npz from the non-sharded path, which pads
+        # at most chunk-1 frames. Snapshotting at the true end makes the
+        # sidecars bit-identical to run_segments' (chunk_iter's in-chunk
+        # repeat padding is the same in both paths).
+        end_snapshots: List = [None] * g
+        try:
+            for start in range(0, t_max, chunk):
+                blocks: List = [None] * g
+                for idx, (s, it) in enumerate(zip(pad_group, iters)):
+                    if it is not None and start < s.num_frames:
+                        blocks[idx] = next(it)
+                        last_blocks[idx] = blocks[idx]
+                # start < t_max guarantees at least one live segment
+                ref = next(b for b in blocks if b is not None)
+                for idx, b in enumerate(blocks):
+                    if b is None:
+                        prev = last_blocks[idx]
+                        blocks[idx] = (
+                            np.repeat(prev[-1:], chunk, axis=0)
+                            if prev is not None else np.zeros_like(ref)
+                        )
+                frames = np.stack(blocks)                   # (G, chunk, H, W, 3)
+                if src_hw is None:
+                    src_hw = tuple(frames.shape[2:4])
+                dev_frames = jax.device_put(frames, batch_sharding)
+                step = self._sharded_step(src_hw)
+                states, outputs = step(self.pipeline.params, states, dev_frames)
+                outputs_host.append(jax.device_get(outputs))
+                ending = [
+                    idx for idx, s in enumerate(group)
+                    if start < s.num_frames <= start + chunk
+                ]
+                if ending:
+                    host_states = jax.device_get(states)
+                    for idx in ending:
+                        end_snapshots[idx] = jax.tree.map(
+                            lambda x: x[idx], host_states
+                        )
+        finally:
+            for it in iters:
+                if it is not None:
+                    it.close()
 
         final_states = jax.device_get(states)    # (G, ...) stacked table
         # (G, T_pad, ...) per-segment trim + records
@@ -143,12 +164,15 @@ class ShardedSegmentRunner:
                 out_dir, f"{seg.context_name}_{seg.camera_name}.jsonl"
             )
             subm.write_jsonl(seg_file, records)
-            if final_states.embed.shape[-1] > 1:
+            seg_state = end_snapshots[i]
+            if seg_state is None:
+                seg_state = jax.tree.map(lambda x: x[i], final_states)
+            if seg_state.embed.shape[-1] > 1:
                 np.savez(
                     seg_file[: -len(".jsonl")] + ".gallery.npz",
-                    track_id=np.asarray(final_states.track_id[i]),
-                    status=np.asarray(final_states.status[i]),
-                    embed=np.asarray(final_states.embed[i], np.float32),
+                    track_id=np.asarray(seg_state.track_id),
+                    status=np.asarray(seg_state.status),
+                    embed=np.asarray(seg_state.embed, np.float32),
                 )
             stats.append({
                 "context": seg.context_name,
@@ -161,20 +185,267 @@ class ShardedSegmentRunner:
         return stats
 
     def _scale(self, seg: SegmentFrames, cfg) -> float:
-        """network -> ORIGINAL pixels scale: the letterbox scale over the
-        (possibly decode-downscaled) source, composed with the decode
-        scale (same rule as SegmentPipeline.run_segment)."""
+        return _segment_scale(seg, cfg)
+
+
+class ShardedMultiCamRunner:
+    """Sharded x multicam composition (round-3): G = mesh-size CONTEXTS run
+    in lockstep, one per device, each context a full shared-backbone
+    multi-camera chunk (BASELINE config 4 fanned across the mesh — the
+    north-star deployment shape: v5e-8, 5 cameras per context).
+
+    Per-device shapes equal the single-chip MultiCamPipeline chunk step;
+    zero collectives in the body (pure fan-out, like ShardedSegmentRunner).
+    """
+
+    def __init__(self, pipeline, mesh: Mesh):
+        # pipeline: MultiCamPipeline (duck-typed: needs _chunk_step_impl,
+        # params, cfg, num_cams)
+        self.pipeline = pipeline
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+        self._steps = {}
+
+    def _sharded_step(self, src_hw):
+        if src_hw in self._steps:
+            return self._steps[src_hw]
+        impl = self.pipeline._chunk_step_impl
+        mesh = self.mesh
+
+        def body(params, states, frames):
+            state1 = jax.tree.map(lambda x: x[0], states)   # (cams, ...)
+            new_state, outputs, _scale = impl(params, state1, frames[0], src_hw)
+            expand = lambda x: x[None]  # noqa: E731
+            return jax.tree.map(expand, new_state), jax.tree.map(expand, outputs)
+
+        mapped = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            **{_CHECK_KW: False},
+        )
+        step = jax.jit(mapped, donate_argnums=(1,))
+        self._steps[src_hw] = step
+        return step
+
+    def run_context_group(self, contexts: List[List[SegmentFrames]],
+                          out_dir: str) -> List[dict]:
+        """Track up to ``n_shards`` same-resolution multicam contexts in
+        lockstep. Each context is a list of num_cams per-camera SegmentFrames
+        with aligned timestamps. Writes per-(context, camera) JSONL files +
+        gallery sidecars (the `w2t link` contract)."""
+        from waymo_2d_tracking_tpu.pipeline.multicam import (
+            init_multicam_state,
+            write_gallery_sidecar,
+        )
+
+        cfg = self.pipeline.cfg
+        chunk = cfg.pipeline.chunk_frames
         sd = cfg.pipeline.decode_scale_denom
-        if seg.frames is not None and sd == 1:
-            hs, ws = seg.frames.shape[1:3]
-        else:
-            it = seg.chunk_iter(1, scale_denom=sd)
-            try:
-                hs, ws = next(it).shape[1:3]
-            finally:
-                it.close()
-        hd, wd = cfg.detector.image_size
-        return min(hd / hs, wd / ws) / sd
+        num_cams = self.pipeline.num_cams
+        g = self.n_shards
+        assert len(contexts) <= g
+        contexts = [sorted(segs, key=lambda s: s.camera_name)
+                    for segs in contexts]
+        for segs in contexts:
+            assert len(segs) == num_cams
+            assert len({tuple(s.timestamps) for s in segs}) == 1, (
+                "multicam group needs aligned timestamps"
+            )
+        t_lens = [segs[0].num_frames for segs in contexts]
+        t_max = max(t_lens)
+
+        iters = [[s.chunk_iter(chunk, scale_denom=sd) for s in segs]
+                 for segs in contexts]
+        batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        states = jax.device_put(
+            jax.tree.map(
+                lambda x: jnp.stack([x] * g),
+                init_multicam_state(cfg, num_cams),
+            ),
+            batch_sharding,
+        )
+        src_hw = None
+        outputs_host = []
+        last_blocks: List = [None] * g
+        end_snapshots: List = [None] * g   # freeze at true end (see run_group)
+        try:
+            for start in range(0, t_max, chunk):
+                blocks: List = [None] * g
+                for idx, (segs, cam_iters) in enumerate(zip(contexts, iters)):
+                    if start < t_lens[idx]:
+                        cam_blocks = [next(it) for it in cam_iters]
+                        hws = {b.shape[1:3] for b in cam_blocks}
+                        assert len(hws) == 1, (
+                            "multicam shared-backbone batch needs equal-"
+                            f"resolution cameras, got {sorted(hws)}"
+                        )
+                        blocks[idx] = np.stack(cam_blocks, axis=1)
+                        last_blocks[idx] = blocks[idx]
+                ref = next(b for b in blocks if b is not None)
+                for idx in range(g):
+                    if blocks[idx] is None:
+                        prev = last_blocks[idx]
+                        blocks[idx] = (
+                            np.repeat(prev[-1:], chunk, axis=0)
+                            if prev is not None else np.zeros_like(ref)
+                        )
+                frames = np.stack(blocks)     # (G, chunk, cams, H, W, 3)
+                if src_hw is None:
+                    src_hw = tuple(frames.shape[3:5])
+                dev_frames = jax.device_put(frames, batch_sharding)
+                step = self._sharded_step(src_hw)
+                states, outputs = step(self.pipeline.params, states, dev_frames)
+                outputs_host.append(jax.device_get(outputs))
+                ending = [idx for idx in range(len(contexts))
+                          if start < t_lens[idx] <= start + chunk]
+                if ending:
+                    host_states = jax.device_get(states)
+                    for idx in ending:
+                        end_snapshots[idx] = jax.tree.map(
+                            lambda x: x[idx], host_states
+                        )
+        finally:
+            for cam_iters in iters:
+                for it in cam_iters:
+                    it.close()
+
+        # (G, T_pad, cams, ...) stacked over chunks on axis 1
+        stacked = jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=1), *outputs_host
+        )
+        stats = []
+        for gi, segs in enumerate(contexts):
+            ctx = segs[0].context_name
+            scale = _segment_scale(segs[0], cfg)
+            for ci, seg in enumerate(segs):
+                cam_out = jax.tree.map(
+                    lambda x: x[gi, : seg.num_frames, ci], stacked
+                )
+                records = subm.records_from_track_outputs(
+                    cam_out, ctx, seg.timestamps, seg.camera_name, scale=scale,
+                )
+                seg_file = os.path.join(
+                    out_dir, f"{ctx}_{seg.camera_name}.jsonl"
+                )
+                subm.write_jsonl(seg_file, records)
+                snap = end_snapshots[gi]
+                write_gallery_sidecar(
+                    seg_file,
+                    snap if snap is not None
+                    else jax.tree.map(lambda x: x[gi], jax.device_get(states)),
+                    cam_index=ci,
+                )
+                stats.append({
+                    "context": ctx, "camera": seg.camera_name,
+                    "frames": seg.num_frames, "records": len(records),
+                    "tracks": len({r.object_id for r in records}),
+                    "shard": gi,
+                })
+        return stats
+
+
+def run_context_groups_sharded(
+    pipeline,
+    segments: Iterable[SegmentFrames],
+    out_dir: str,
+    mesh: Optional[Mesh] = None,
+    fail_after: Optional[int] = None,
+) -> List[dict]:
+    """Manifest-resumable sharded multicam fan-out (`w2t track --multicam
+    --sharded`): per-camera segments are grouped into contexts, contexts
+    bucketed by source resolution into lockstep groups of mesh size.
+
+    pipeline: MultiCamPipeline. Incomplete contexts (fewer cameras than
+    pipeline.num_cams) are an error — config-4 semantics need the full
+    shared-backbone batch.
+    """
+    from waymo_2d_tracking_tpu.parallel.sharding import make_mesh
+
+    mesh = mesh or make_mesh()
+    runner = ShardedMultiCamRunner(pipeline, mesh)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    done = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            for line in f:
+                if line.strip():
+                    done.add(json.loads(line)["key"])
+
+    # contexts must be assembled before grouping (cameras of one context can
+    # arrive interleaved); each context stays lazy — JPEG bytes decode in
+    # run_context_group's chunk loop
+    by_ctx: dict = {}
+    for seg in segments:
+        by_ctx.setdefault(seg.context_name, []).append(seg)
+
+    all_stats: List[dict] = []
+    n_run = 0
+    g = runner.n_shards
+
+    def _flush(group):
+        nonlocal n_run
+        if not group:
+            return
+        if fail_after is not None and n_run >= fail_after:
+            raise RuntimeError(
+                f"fault injection: stopping after {fail_after} contexts"
+            )
+        stats = runner.run_context_group(group, out_dir)
+        with open(manifest_path, "a") as f:
+            for st in stats:
+                f.write(json.dumps(
+                    {"key": f"{st['context']}/{st['camera']}", **st}
+                ) + "\n")
+        all_stats.extend(stats)
+        n_run += len(group)
+
+    buckets: dict = {}
+    for ctx in sorted(by_ctx):
+        segs = by_ctx[ctx]
+        assert len(segs) == pipeline.num_cams, (
+            f"context {ctx} has {len(segs)} cameras, "
+            f"pipeline expects {pipeline.num_cams}"
+        )
+        if all(f"{s.context_name}/{s.camera_name}" in done for s in segs):
+            continue
+        hw = _segment_src_hw(segs[0])
+        bucket = buckets.setdefault(hw, [])
+        bucket.append(segs)
+        if len(bucket) == g:
+            _flush(bucket)
+            buckets[hw] = []
+    for bucket in buckets.values():
+        _flush(bucket)
+    return all_stats
+
+
+def _segment_src_hw(seg: SegmentFrames):
+    if seg.frames is not None:
+        return tuple(seg.frames.shape[1:3])
+    it = seg.chunk_iter(1)
+    try:
+        return tuple(next(it).shape[1:3])
+    finally:
+        it.close()
+
+
+def _segment_scale(seg: SegmentFrames, cfg) -> float:
+    """network -> ORIGINAL pixels scale (letterbox over the decode-scaled
+    source, composed with the decode scale — run_segment's rule)."""
+    sd = cfg.pipeline.decode_scale_denom
+    if seg.frames is not None and sd == 1:
+        hs, ws = seg.frames.shape[1:3]
+    else:
+        it = seg.chunk_iter(1, scale_denom=sd)
+        try:
+            hs, ws = next(it).shape[1:3]
+        finally:
+            it.close()
+    hd, wd = cfg.detector.image_size
+    return min(hd / hs, wd / ws) / sd
 
 
 def run_segments_sharded(
