@@ -3,6 +3,7 @@ sharding): a camera/frame batch sharded across the 'data' axis produces the
 same detections as an unsharded run — segments are embarrassingly parallel
 and XLA partitions the batched forward without any custom comm code."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -17,6 +18,7 @@ CFG = DetectorConfig(
 )
 
 
+@pytest.mark.slow
 def test_sharded_batch_detection_matches_unsharded():
     mesh = shd.make_mesh()
     runner = DetectorRunner(CFG)

@@ -54,6 +54,7 @@ def pipeline():
     return MultiCamPipeline(CFG, num_cams=NUM_CAMS, rng=jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_sharded_multicam_matches_single_device(pipeline, tmp_path):
     # 3 contexts of unequal length on the 8-device mesh: exercises the
     # partial group + repeat-pad + end-snapshot paths
@@ -86,6 +87,7 @@ def test_sharded_multicam_matches_single_device(pipeline, tmp_path):
     assert run_context_groups_sharded(pipeline, flat, out_shd) == []
 
 
+@pytest.mark.slow
 def test_sharded_segment_gallery_freeze_matches_single(tmp_path):
     """ADVICE r2 (sharded.py lockstep padding): in a single-camera sharded
     group with unequal lengths, the SHORTER segment's gallery sidecar must
@@ -117,6 +119,7 @@ def test_sharded_segment_gallery_freeze_matches_single(tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_multicam_sharded_cli_flag(tmp_path, capsys):
     """`w2t track --multicam --sharded` end-to-end over a two-camera dir."""
     from waymo_2d_tracking_tpu import cli

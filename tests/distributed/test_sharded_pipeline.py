@@ -51,6 +51,7 @@ def pipeline():
     return SegmentPipeline(CFG, rng=jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_sharded_fanout_matches_single_device(pipeline, tmp_path):
     # 9 segments on an 8-device mesh -> one full group + one partial group;
     # unequal lengths exercise the zero-pad + trim path
@@ -78,6 +79,7 @@ def test_sharded_fanout_matches_single_device(pipeline, tmp_path):
     assert run_segments_sharded(pipeline, segs, out_shd) == []
 
 
+@pytest.mark.slow
 def test_sharded_cli_flag(pipeline, tmp_path, capsys):
     """`w2t track --sharded` end-to-end over a directory of segments."""
     from waymo_2d_tracking_tpu import cli

@@ -45,6 +45,7 @@ def trainer_state(trainer_factory):
     return trainer, fresh()
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_loss_decreases(trainer_state):
     trainer, state = trainer_state
     rng = np.random.default_rng(0)
@@ -80,6 +81,7 @@ def test_params_replicated_after_step(trainer_state):
         np.testing.assert_array_equal(first, np.asarray(s.data))
 
 
+@pytest.mark.slow
 def test_dp_equals_single_device():
     """Gradient math parity: one sharded step == one unsharded step."""
     mesh = shd.make_mesh()

@@ -2,6 +2,8 @@
 keys (SURVEY.md C27). Runs the config-1 CPU path (tracker-only)."""
 import json
 import os
+
+import pytest
 import subprocess
 import sys
 
@@ -24,6 +26,7 @@ def test_bench_config1_json_contract():
     assert payload["unit"] == "frames/sec/chip"
 
 
+@pytest.mark.slow
 def test_bench_config1_regression_floor():
     """SURVEY §4 'Benchmark regression': assert the config-1 CPU tracker
     throughput stays above a conservative floor. The floor is ~20x below the

@@ -91,6 +91,7 @@ def test_detect_cli_on_directory_segments(tmp_path, capsys):
     assert all(r.object_id.startswith("det_") for r in recs)
 
 
+@pytest.mark.slow
 def test_train_cli_synthetic_smoke(tmp_path, capsys):
     cli.main([
         "train", "--steps", "2",

@@ -34,6 +34,7 @@ SLIM = Config(
 )
 
 
+@pytest.mark.slow
 def test_multicam_run_shapes_and_state_independence():
     pipe = MultiCamPipeline(SLIM, num_cams=3, rng=jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -46,6 +47,7 @@ def test_multicam_run_shapes_and_state_independence():
     assert next_ids.shape == (3,)
 
 
+@pytest.mark.slow
 def test_multicam_matches_single_camera():
     """Camera k of the multicam run == a single-camera run on that stream."""
     pipe = MultiCamPipeline(SLIM, num_cams=2, rng=jax.random.PRNGKey(0))
@@ -65,6 +67,7 @@ def test_multicam_matches_single_camera():
     )
 
 
+@pytest.mark.slow
 def test_multicam_tail_repeat_pad_keeps_tracks_alive():
     """Regression (VERDICT r2 weak #2): a trailing partial chunk used to be
     ZERO-padded — with pad >= max_age the blank tail aged every live track
@@ -143,6 +146,7 @@ def test_flip_image_involution():
     np.testing.assert_array_equal(np.asarray(flip_image(flip_image(x))), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_tta_detects_superset_quality():
     """TTA with flip must produce detections consistent with no-TTA (same
     image, same weights): valid count >= plain, boxes within image."""
@@ -164,6 +168,7 @@ def test_tta_detects_superset_quality():
     assert np.all(np.diff(s) <= 0)
 
 
+@pytest.mark.slow
 def test_tta_multiscale_path():
     """Multi-scale TTA: candidates from a 0.5x view map back to original
     coordinates; output boxes stay comparable to the 1x-only run."""

@@ -90,6 +90,7 @@ def test_manifest_resume_and_fault_injection(pipeline, tmp_path):
     assert run_segments(pipeline, segs, out) == []
 
 
+@pytest.mark.slow
 def test_run_segment_with_tta(tmp_path):
     """Config-5 shape: pipeline TTA settings actually drive the detection
     path (multi-scale + flip candidate union) end-to-end."""

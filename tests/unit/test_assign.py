@@ -6,6 +6,7 @@ N * eps_min of optimal; tests assert that bound (and exactness on
 well-separated integer costs).
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy.optimize import linear_sum_assignment
@@ -125,6 +126,7 @@ def test_inside_vmap_and_scan():
         assert len(used) == len(set(used))
 
 
+@pytest.mark.slow
 def test_pallas_kernel_matches_xla_path():
     """The in-kernel Pallas auction (interpret mode on CPU) must produce an
     equally-optimal assignment to the XLA while_loop path."""
@@ -143,6 +145,41 @@ def test_pallas_kernel_matches_xla_path():
             got = total_cost(cost, rtc)
             n = 128  # pallas pads to 128
             assert got <= opt + n * EPS_MIN + 1e-4, (name, got, opt)
+
+
+@pytest.mark.slow
+def test_pallas_kernel_n64_tracker_shapes():
+    """Round 3: problems up to 64x64 run the kernel at n=64 (1.69x faster,
+    tools/perf_auction64.py). Optimality and masking semantics must hold at
+    the smaller padding, including rectangular and gated cases."""
+    from waymo_2d_tracking_tpu.ops.assign import _round_up_128
+
+    assert _round_up_128(64) == 64 and _round_up_128(8) == 64
+    assert _round_up_128(65) == 128 and _round_up_128(200) == 256
+    rng = np.random.default_rng(11)
+    for r, c in [(64, 64), (64, 40), (40, 64), (64, 1)]:
+        cost = rng.uniform(0, 2, size=(r, c)).astype(np.float32)
+        row_mask = rng.uniform(size=r) < 0.8
+        forbid = rng.uniform(size=(r, c)) < 0.1
+        rtc_p, ctr_p = auction_assign(
+            jnp.asarray(cost), row_mask=jnp.asarray(row_mask),
+            forbid=jnp.asarray(forbid), eps_min=EPS_MIN,
+            max_iters=4096, use_pallas=True,
+        )
+        rtc = np.asarray(rtc_p)
+        used = [j for j in rtc if j >= 0]
+        assert len(used) == len(set(used))
+        assert all(rtc[i] == -1 for i in range(r) if not row_mask[i])
+        assert all(not forbid[i, j] for i, j in enumerate(rtc) if j >= 0)
+        # optimality vs scipy on the feasible submatrix
+        big = 1e6
+        sub = np.where(forbid, big, cost)[row_mask]
+        ri, ci = linear_sum_assignment(sub)
+        keep = sub[ri, ci] < big / 2
+        opt = sub[ri, ci][keep].sum()
+        got = total_cost(cost, rtc)
+        assert sum(1 for j in rtc if j >= 0) == int(keep.sum())
+        assert got <= opt + 64 * EPS_MIN + 1e-4, (r, c, got, opt)
 
 
 # ----------------------------------------------------------- greedy matching
@@ -183,6 +220,7 @@ def test_greedy_matches_numpy_oracle():
         np.testing.assert_array_equal(np.asarray(got_ctr), want_ctr)
 
 
+@pytest.mark.slow
 def test_greedy_tracker_quality_close_to_auction():
     """Tracker with assignment='greedy' must stay within a small MOTA/IDF1
     delta of the auction on the synthetic golden clip (the speed presets

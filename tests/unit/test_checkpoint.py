@@ -16,6 +16,7 @@ CFG = Config(
 )
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore_resume(tmp_path):
     trainer = DetectorTrainer(CFG)
     state = trainer.create_state(jax.random.PRNGKey(0), batch_size=2)

@@ -186,6 +186,7 @@ def test_backbone_parity_vs_torch_twin():
         )
 
 
+@pytest.mark.slow
 def test_backbone_family_shapes():
     """Every backbone variant produces a C2..C5 pyramid with right strides."""
     from waymo_2d_tracking_tpu.models import resnet as rn

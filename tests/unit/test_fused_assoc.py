@@ -1,5 +1,6 @@
 """Fused stage-1 kernel vs the unfused (stage1_cost -> auction_assign) path."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from waymo_2d_tracking_tpu.config import TrackerConfig
@@ -57,6 +58,7 @@ def pair_cost(c1, f1, rtc):
     return total, count
 
 
+@pytest.mark.slow
 def test_fused_matches_unfused():
     rng = np.random.default_rng(0)
     for lam in (0.0, 0.3):
@@ -106,6 +108,7 @@ def test_fused_empty_inputs():
     assert (np.asarray(ctr) == -1).all()
 
 
+@pytest.mark.slow
 def test_tracker_with_fused_stage1_matches_quality():
     """Full tracker with fused_stage1=True tracks the synthetic clip with
     the same quality as the unfused path."""

@@ -1,5 +1,6 @@
 """Property/fuzz tests: structural invariants under random inputs."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -45,6 +46,7 @@ def check_output_invariants(outs):
         assert len(frame_ids) == len(set(frame_ids.tolist())), f"dup ids frame {t}"
 
 
+@pytest.mark.slow
 def test_tracker_fuzz_invariants():
     rng = np.random.default_rng(0)
     for trial, kw in enumerate([
@@ -67,6 +69,7 @@ def test_tracker_fuzz_invariants():
         assert int(state.next_id) >= 0
 
 
+@pytest.mark.slow
 def test_detector_odd_image_sizes():
     """No hidden divisibility assumptions: odd H/W through all FPN levels."""
     cfg = DetectorConfig(

@@ -57,7 +57,17 @@ def test_corrupt_input_zeroed(jpegs):
 
 
 def test_throughput_exceeds_cv2_loop(jpegs):
-    """The point of the shim: parallel decode beats the serial loop."""
+    """The point of the shim: parallel decode beats the serial loop.
+
+    On a single-core host the pool has no parallelism to exploit — the two
+    paths are within noise of each other and the comparison flakes under
+    load (it did in round 3), so the assertion needs >= 2 cores."""
+    import os
+
+    import pytest
+
+    if (os.cpu_count() or 1) < 2:
+        pytest.skip("thread-pool speedup needs >= 2 cores")
     batch = jpegs * 8  # 128 images
     native = BatchJpegDecoder(96, 128, n_threads=8, native=True)
     fallback = BatchJpegDecoder(96, 128, native=False)

@@ -1,5 +1,6 @@
 """Unit tests for train/losses.py (FCOS target assignment + losses)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from waymo_2d_tracking_tpu.train.losses import (
@@ -77,6 +78,7 @@ def test_giou_perfect_and_disjoint():
     assert float(giou_loss(worse, p)[0]) > 0.1
 
 
+@pytest.mark.slow
 def test_ema_params_track_with_warmup_ramp():
     """EMA follows the bias-corrected ramp min(d, (1+t)/(10+t)) and lands
     strictly between the initial and current params (train.ema_decay)."""
@@ -119,6 +121,7 @@ def test_ema_params_track_with_warmup_ramp():
     np.testing.assert_array_equal(np.asarray(leaf_ev), np.asarray(leaf_ema))
 
 
+@pytest.mark.slow
 def test_ema_disabled_keeps_empty_pytree():
     import jax
     import numpy as np

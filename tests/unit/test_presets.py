@@ -76,7 +76,9 @@ def test_headline_preset_semantics():
     assert hl.detector.embed_dim == 128 and hl.tracker.embed_dim == 128
     assert hl.tracker.appearance_weight > 0
     assert hl.tracker.reid_recovery and hl.tracker.gallery_size > 1
-    assert hl.tracker.assignment == "greedy"
+    # round 3: n=64 auction == greedy speed, so the headline keeps
+    # scipy-equal Hungarian semantics
+    assert hl.tracker.assignment == "auction"
     h, w = hl.detector.image_size
     assert abs(1280 / h - 1920 / w) < 1e-9   # exact Waymo 2:3 letterbox
     assert hl.pipeline.chunk_frames == 128

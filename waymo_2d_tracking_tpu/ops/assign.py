@@ -96,6 +96,16 @@ def _auction_phase(
 
 
 def _round_up_128(x: int) -> int:
+    """Static benefit-matrix side for the Pallas kernel.
+
+    Round 3: problems up to 64x64 run at n=64 — Mosaic handles the
+    (64, 64) f32 block fine, and the auction measured 0.645 vs 1.088
+    ms/frame in-scan at tracker shapes (S=D=64, masks+gates), 1.69x —
+    near-parity with greedy (0.620) while keeping scipy-equal optimality
+    (tools/perf_auction64.py; scipy-exact on the chip at n=64). Larger
+    problems keep the conservative 128-multiple padding."""
+    if x <= 64:
+        return 64
     return ((max(x, 128) + 127) // 128) * 128
 
 
