@@ -266,3 +266,54 @@ def test_coco_batch_iterator_prefetch_path(seg_dir, tmp_path):
 
     _time.sleep(0.5)
     assert threading.active_count() <= n_before + 1, "input workers leaked"
+
+
+def test_tfrecord_native_scanner_parity(tmp_path, monkeypatch):
+    """native/tfrecord_reader.cpp vs the pure-Python walker: identical
+    index, timestamps, presence and extracted bytes on the same file
+    (incl. records missing a camera and empty-image records)."""
+    import cv2
+
+    from waymo_2d_tracking_tpu.data import tfrecord_native
+
+    if not tfrecord_native.is_available():
+        import pytest
+
+        pytest.skip("native tfrecord shim not built")
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (24, 32, 3), np.uint8)
+    ok, enc = cv2.imencode(".jpg", img[:, :, ::-1])
+    jpeg = enc.tobytes()
+    frames = [
+        waymo.encode_frame("ctxN", 7_000_000_000_000 + 100 * t,  # >2^32 ts
+                           images=({1: jpeg, 2: jpeg} if t % 3 == 0
+                                   else {1: jpeg} if t % 3 == 1
+                                   else {1: b"", 2: jpeg}))
+        for t in range(9)
+    ]
+    path = str(tmp_path / "seg.tfrecord")
+    waymo.write_tfrecord(path, frames)
+
+    def read_with(native: bool):
+        if not native:
+            monkeypatch.setattr(tfrecord_native, "index", lambda *a, **k: None)
+            monkeypatch.setattr(tfrecord_native, "meta", lambda *a, **k: None)
+            monkeypatch.setattr(tfrecord_native, "extract", lambda *a, **k: None)
+        segs = {s.camera_name: s for s in waymo.iter_segments(
+            str(tmp_path), cameras=("FRONT", "FRONT_LEFT"))}
+        out = {}
+        for cam, seg in segs.items():
+            out[cam] = (list(seg.timestamps), seg.jpeg_frames[0:len(seg.jpeg_frames)])
+        monkeypatch.undo()
+        return out
+
+    nat = read_with(True)
+    py = read_with(False)
+    assert set(nat) == set(py) == {1, 2}
+    for cam in (1, 2):
+        assert nat[cam][0] == py[cam][0], f"timestamps differ cam {cam}"
+        assert nat[cam][1] == py[cam][1], f"bytes differ cam {cam}"
+    # camera 1 present in t%3==0,1 (empty bytes at t%3==2 -> filtered);
+    # camera 2 present in t%3==0,2
+    assert len(nat[1][0]) == 6 and len(nat[2][0]) == 6

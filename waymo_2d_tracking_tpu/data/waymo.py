@@ -190,7 +190,13 @@ def encode_frame(context_name: str, timestamp: int,
 def index_tfrecord(path: str) -> List[tuple]:
     """One cheap pass over the TFRecord FRAMING only: returns a list of
     (byte_offset, length) per record. Payloads are skipped with seek — no
-    record bytes are read or retained."""
+    record bytes are read or retained. Uses the native scanner
+    (native/tfrecord_reader.cpp) when built; pure-Python otherwise."""
+    from waymo_2d_tracking_tpu.data import tfrecord_native
+
+    native = tfrecord_native.index(path)
+    if native is not None:
+        return native
     out = []
     with open(path, "rb") as f:
         while True:
@@ -232,8 +238,20 @@ class TfrecordCameraJpegs:
 
     def _fetch(self, pos) -> bytes:
         offset, length = pos
-        rec = read_record_at(self.path, offset, length)
         self.records_read += 1
+        # native fast path: C walks the record and copies only this
+        # camera's JPEG bytes (a real Waymo record is ~5 MB of proto —
+        # the Python walk below costs interpreter time per chunk fetch)
+        from waymo_2d_tracking_tpu.data import tfrecord_native
+
+        s = _FRAME_SCHEMA
+        jpeg = tfrecord_native.extract(
+            self.path, offset, length, s["frame.images"],
+            s["camera_image.name"], self.camera_id, s["camera_image.image"],
+        )
+        if jpeg is not None:
+            return jpeg
+        rec = read_record_at(self.path, offset, length)
         fr = parse_frame(rec, want_labels=False)
         return fr["images"].get(self.camera_id, b"")
 
@@ -265,13 +283,32 @@ def iter_segments(path: str, cameras: Sequence[str] = ("FRONT",)):
             stamps: List[int] = []
             present: Dict[int, List[bool]] = {c: [] for c in cam_ids}
             ctx = entry
-            for offset, length in positions:
-                fr = parse_frame(read_record_at(full, offset, length),
-                                 want_labels=False)
-                ctx = fr["context_name"] or entry
-                stamps.append(fr["timestamp"])
-                for c in cam_ids:
-                    present[c].append(bool(fr["images"].get(c)))
+            from waymo_2d_tracking_tpu.data import tfrecord_native
+
+            s = _FRAME_SCHEMA
+            nat = tfrecord_native.meta(
+                full, len(positions), s["frame.timestamp"],
+                s["frame.images"], s["camera_image.name"],
+                s["camera_image.image"], cam_ids,
+            ) if positions else None
+            if nat is not None:
+                ts_arr, present_mat = nat
+                stamps = [int(t) for t in ts_arr]
+                for k, c in enumerate(cam_ids):
+                    present[c] = [bool(v) for v in present_mat[:, k]]
+                # context name from record 0 (constant across a segment)
+                fr0 = parse_frame(
+                    read_record_at(full, *positions[0]), want_labels=False
+                )
+                ctx = fr0["context_name"] or entry
+            else:
+                for offset, length in positions:
+                    fr = parse_frame(read_record_at(full, offset, length),
+                                     want_labels=False)
+                    ctx = fr["context_name"] or entry
+                    stamps.append(fr["timestamp"])
+                    for c in cam_ids:
+                        present[c].append(bool(fr["images"].get(c)))
             for c in cam_ids:
                 # a record may carry only a subset of cameras; empty JPEG
                 # bytes would crash the decoder downstream — keep only the
