@@ -117,13 +117,27 @@ long long find_camera_image(const uint8_t* buf, long long len, int f_images,
 }
 
 // Reads the 12-byte TFRecord header at the current file position.
-// Returns payload length, or -1 at EOF/short read.
-long long read_header(FILE* f) {
+// Returns payload length, or -1 at EOF/short read/implausible length.
+// `file_size` bounds the length claim: a corrupt/truncated/non-TFRecord
+// file must fail with an error code, not feed a garbage length (e.g. 2^40)
+// into a buffer allocation — a std::bad_alloc escaping the extern "C"
+// boundary would std::terminate the whole Python process, while the Python
+// fallback fails catchably.
+long long read_header(FILE* f, long long file_size) {
   uint8_t hdr[12];
+  long long pos = ftell(f);
   if (fread(hdr, 1, 12, f) != 12) return -1;
   uint64_t len;
   memcpy(&len, hdr, 8);  // little-endian framing; TPU hosts are LE
+  if (pos < 0 || len > static_cast<uint64_t>(file_size - pos - 12)) return -1;
   return static_cast<long long>(len);
+}
+
+long long get_file_size(FILE* f) {
+  if (fseek(f, 0, SEEK_END) != 0) return -1;
+  long long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  return size;
 }
 
 }  // namespace
@@ -134,9 +148,10 @@ long long w2t_tfr_index(const char* path, unsigned long long* offsets,
                         unsigned long long* lengths, long long cap) {
   FILE* f = fopen(path, "rb");
   if (!f) return -3;
+  long long file_size = get_file_size(f);
   long long n = 0;
   for (;;) {
-    long long len = read_header(f);
+    long long len = read_header(f, file_size);
     if (len < 0) break;
     long long pos = ftell(f);
     if (n < cap) {
@@ -156,10 +171,11 @@ long long w2t_tfr_meta(const char* path, int f_ts, int f_images, int f_cam,
                        long long cap) {
   FILE* f = fopen(path, "rb");
   if (!f) return -3;
+  long long file_size = get_file_size(f);
   std::vector<uint8_t> buf;
   long long n = 0;
   for (;;) {
-    long long len = read_header(f);
+    long long len = read_header(f, file_size);
     if (len < 0) break;
     if (n >= cap) break;
     buf.resize(static_cast<size_t>(len));
@@ -201,6 +217,12 @@ long long w2t_tfr_extract(const char* path, unsigned long long offset,
                           unsigned char* dst, long long cap) {
   FILE* f = fopen(path, "rb");
   if (!f) return -3;
+  long long file_size = get_file_size(f);
+  if (static_cast<long long>(offset) > file_size ||
+      static_cast<long long>(length) > file_size - static_cast<long long>(offset)) {
+    fclose(f);
+    return -3;  // caller-supplied position outside the file: corrupt index
+  }
   if (fseek(f, static_cast<long>(offset), SEEK_SET) != 0) {
     fclose(f);
     return -3;

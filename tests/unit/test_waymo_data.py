@@ -317,3 +317,56 @@ def test_tfrecord_native_scanner_parity(tmp_path, monkeypatch):
     # camera 1 present in t%3==0,1 (empty bytes at t%3==2 -> filtered);
     # camera 2 present in t%3==0,2
     assert len(nat[1][0]) == 6 and len(nat[2][0]) == 6
+
+
+def test_native_scanner_rejects_corrupt_tfrecord(tmp_path):
+    """A corrupt/non-TFRecord file must fail catchably (error code ->
+    Python fallback / empty), never feed a garbage framing length into a
+    native allocation (review r3: bad_alloc through the extern C boundary
+    would kill the process)."""
+    from waymo_2d_tracking_tpu.data import tfrecord_native
+
+    if not tfrecord_native.is_available():
+        import pytest
+
+        pytest.skip("native tfrecord shim not built")
+    bad = tmp_path / "bad.tfrecord"
+    # framing header claiming a ~2^40-byte record
+    bad.write_bytes((1 << 40).to_bytes(8, "little") + b"\x00" * 40)
+    assert tfrecord_native.index(str(bad)) == []
+    out = tfrecord_native.meta(str(bad), 1, 2, 4, 1, 2, [1])
+    assert out is None   # 0 records parsed != 1 requested
+    # extract with an out-of-file offset: error, not crash
+    assert tfrecord_native.extract(str(bad), 10**9, 100, 4, 1, 1, 2) is None
+
+
+def test_source_hw_cached_single_probe(tmp_path):
+    """source_hw()/scaled_hw() decode ONE frame once, then every probe site
+    (bucketing, scale, decoder sizing) reuses the cache (review r3)."""
+    import cv2
+
+    from waymo_2d_tracking_tpu.pipeline.run import SegmentFrames
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (30, 44, 3), np.uint8)
+    ok, enc = cv2.imencode(".jpg", img[:, :, ::-1])
+    calls = []
+    import waymo_2d_tracking_tpu.data.preprocess as pp
+
+    orig = pp.decode_jpeg_host
+
+    def counting(b):
+        calls.append(1)
+        return orig(b)
+
+    pp.decode_jpeg_host = counting
+    try:
+        seg = SegmentFrames(context_name="c", camera_name=1,
+                            timestamps=[0, 1000],
+                            jpeg_frames=[enc.tobytes()] * 2)
+        assert seg.source_hw() == (30, 44)
+        assert seg.source_hw() == (30, 44)
+        assert seg.scaled_hw(2) == (15, 22)
+        assert len(calls) == 1, "source_hw probe not cached"
+    finally:
+        pp.decode_jpeg_host = orig

@@ -381,12 +381,22 @@ def _load_params(path):
     """Load inference variables from an orbax dir: either a train export /
     import-weights artifact ({params, batch_stats}) or a full TrainState
     checkpoint (step_N dir), from which the inference collections are
-    extracted."""
+    extracted. A TrainState trained with EMA serves the EMA params —
+    matching what the `<ckpt>/export` artifact would contain (review r3:
+    the two --params load paths for the same run must agree)."""
+    import jax
     import orbax.checkpoint as ocp
 
     tree = ocp.StandardCheckpointer().restore(path)
     if isinstance(tree, dict) and "params" in tree and "opt_state" in tree:
-        return {k: tree[k] for k in ("params", "batch_stats") if k in tree}
+        params = tree["params"]
+        ema = tree.get("ema_params")
+        if ema is not None and jax.tree.leaves(ema):
+            params = ema
+        out = {"params": params}
+        if "batch_stats" in tree:
+            out["batch_stats"] = tree["batch_stats"]
+        return out
     return tree
 
 

@@ -1,0 +1,59 @@
+"""Shared ctypes bootstrap for the native/ host-side shims.
+
+One place for: resolving the repo's ``native/`` directory, building a
+target .so on demand with make, and lock-guarded CDLL caching with a
+graceful None fallback. Each shim module (data/jpeg.py,
+data/tfrecord_native.py) supplies only a ``configure(lib)`` callback that
+declares its ctypes signatures.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Callable, Optional
+
+NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native")
+)
+
+_libs: dict = {}
+_lock = threading.Lock()
+
+
+def build_native(target: str, force: bool = False) -> Optional[str]:
+    """Compile ``native/<target>`` if needed; returns the .so path or None."""
+    path = os.path.join(NATIVE_DIR, target)
+    if os.path.exists(path) and not force:
+        return path
+    try:
+        subprocess.run(
+            ["make", "-C", NATIVE_DIR, target],
+            check=True, capture_output=True,
+        )
+        return path if os.path.exists(path) else None
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
+def load(target: str, configure: Callable[[ctypes.CDLL], None]):
+    """Build (if needed), dlopen and configure ``native/<target>``; cached.
+
+    Returns the configured CDLL, or None when the shim can't be built or a
+    prebuilt .so lacks the expected symbols (configure raising
+    AttributeError) — callers fall back to their pure-Python paths.
+    """
+    with _lock:
+        if target in _libs:
+            return _libs[target]
+        path = build_native(target)
+        lib = None
+        if path is not None:
+            try:
+                lib = ctypes.CDLL(path)
+                configure(lib)
+            except (OSError, AttributeError):
+                lib = None
+        _libs[target] = lib
+        return lib

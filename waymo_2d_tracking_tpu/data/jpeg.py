@@ -8,62 +8,40 @@ shim isn't built; ``build_native()`` compiles it with make/g++ on demand.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from typing import List, Optional, Sequence
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libw2t_jpeg.so"))
-
-_lib = None
-_lib_lock = threading.Lock()
+from waymo_2d_tracking_tpu.data import _native
 
 
 def build_native(force: bool = False) -> Optional[str]:
     """Compile the shim if needed. Returns the .so path or None on failure."""
-    if os.path.exists(_SO_PATH) and not force:
-        return _SO_PATH
+    return _native.build_native("libw2t_jpeg.so", force=force)
+
+
+def _configure(lib) -> None:
+    lib.w2t_decoder_create.restype = ctypes.c_void_p
+    lib.w2t_decoder_create.argtypes = [ctypes.c_int]
+    lib.w2t_decoder_destroy.argtypes = [ctypes.c_void_p]
+    lib.w2t_decode_batch.restype = ctypes.c_int
+    lib.w2t_decode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_int,
+    ]
     try:
-        subprocess.run(
-            ["make", "-C", os.path.abspath(_NATIVE_DIR), "libw2t_jpeg.so"],
-            check=True, capture_output=True,
+        lib.w2t_decode_batch_scaled.restype = ctypes.c_int
+        lib.w2t_decode_batch_scaled.argtypes = (
+            lib.w2t_decode_batch.argtypes + [ctypes.c_int, ctypes.c_int]
         )
-        return _SO_PATH if os.path.exists(_SO_PATH) else None
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return None
+    except AttributeError:   # older prebuilt .so without the symbol
+        pass
 
 
 def _load():
-    global _lib
-    with _lib_lock:
-        if _lib is not None:
-            return _lib
-        path = build_native()
-        if path is None:
-            return None
-        lib = ctypes.CDLL(path)
-        lib.w2t_decoder_create.restype = ctypes.c_void_p
-        lib.w2t_decoder_create.argtypes = [ctypes.c_int]
-        lib.w2t_decoder_destroy.argtypes = [ctypes.c_void_p]
-        lib.w2t_decode_batch.restype = ctypes.c_int
-        lib.w2t_decode_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
-            ctypes.c_int, ctypes.c_int,
-        ]
-        try:
-            lib.w2t_decode_batch_scaled.restype = ctypes.c_int
-            lib.w2t_decode_batch_scaled.argtypes = (
-                lib.w2t_decode_batch.argtypes + [ctypes.c_int, ctypes.c_int]
-            )
-        except AttributeError:   # older prebuilt .so without the symbol
-            pass
-        _lib = lib
-        return _lib
+    return _native.load("libw2t_jpeg.so", _configure)
 
 
 class BatchJpegDecoder:

@@ -13,62 +13,36 @@ built (data/waymo.py keeps its pure-Python walker as the oracle/fallback).
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libw2t_tfrecord.so"))
-
-_lib = None
-_lib_lock = threading.Lock()
+from waymo_2d_tracking_tpu.data import _native
 
 
-def build_native(force: bool = False) -> Optional[str]:
-    if os.path.exists(_SO_PATH) and not force:
-        return _SO_PATH
-    try:
-        subprocess.run(
-            ["make", "-C", os.path.abspath(_NATIVE_DIR), "libw2t_tfrecord.so"],
-            check=True, capture_output=True,
-        )
-        return _SO_PATH if os.path.exists(_SO_PATH) else None
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return None
+def _configure(lib: ctypes.CDLL) -> None:
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.w2t_tfr_index.restype = ctypes.c_longlong
+    lib.w2t_tfr_index.argtypes = [
+        ctypes.c_char_p, u64p, u64p, ctypes.c_longlong,
+    ]
+    lib.w2t_tfr_meta.restype = ctypes.c_longlong
+    lib.w2t_tfr_meta.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+    ]
+    lib.w2t_tfr_extract.restype = ctypes.c_longlong
+    lib.w2t_tfr_extract.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+    ]
 
 
 def _load():
-    global _lib
-    with _lib_lock:
-        if _lib is not None:
-            return _lib
-        path = build_native()
-        if path is None:
-            return None
-        lib = ctypes.CDLL(path)
-        u64p = ctypes.POINTER(ctypes.c_uint64)
-        lib.w2t_tfr_index.restype = ctypes.c_longlong
-        lib.w2t_tfr_index.argtypes = [
-            ctypes.c_char_p, u64p, u64p, ctypes.c_longlong,
-        ]
-        lib.w2t_tfr_meta.restype = ctypes.c_longlong
-        lib.w2t_tfr_meta.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_longlong),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
-        ]
-        lib.w2t_tfr_extract.restype = ctypes.c_longlong
-        lib.w2t_tfr_extract.argtypes = [
-            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
-            ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
-        ]
-        _lib = lib
-        return _lib
+    return _native.load("libw2t_tfrecord.so", _configure)
 
 
 def is_available() -> bool:
@@ -135,23 +109,22 @@ def extract(
 
     Returns b"" when the camera/image is absent in the record; None when the
     shim is unavailable or IO fails (caller falls back to the Python walk).
+
+    One native call: the destination is sized at the record length (an
+    embedded bytes field can never exceed its container), so there is no
+    size-probe round trip — a probe call would re-read and re-walk the
+    whole multi-MB record a second time on this hot path.
     """
     lib = _load()
     if lib is None:
         return None
-    need = lib.w2t_tfr_extract(
-        path.encode(), offset, length, f_images, f_cam, cam_id, f_img,
-        None, 0,
-    )
-    if need == -1:
-        return b""
-    if need < 0:
-        return None
-    buf = np.empty(int(need), np.uint8)
+    buf = np.empty(int(length), np.uint8)
     got = lib.w2t_tfr_extract(
         path.encode(), offset, length, f_images, f_cam, cam_id, f_img,
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(need),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(length),
     )
-    if got != need:
+    if got == -1:
+        return b""
+    if got < 0:
         return None
-    return buf.tobytes()
+    return buf[: int(got)].tobytes()

@@ -49,6 +49,26 @@ class _UnionFind:
             self.parent[rb] = ra
 
 
+def write_gallery_sidecar(path_jsonl: str, state, cam_index=None) -> None:
+    """Final track-table embeddings next to a track JSONL — the input
+    contract of `w2t link` (load_galleries below). ONE writer for every
+    pipeline (run_segments / sharded / multicam); a schema change here
+    cannot desynchronize the producers.
+
+    state: host TrackerState (optionally with a leading camera/shard axis
+    selected by cam_index). No-op when the config has no ReID embeddings.
+    """
+    sel = (lambda x: x[cam_index]) if cam_index is not None else (lambda x: x)
+    if state.embed.shape[-1] <= 1:
+        return
+    np.savez(
+        path_jsonl[: -len(".jsonl")] + ".gallery.npz",
+        track_id=np.asarray(sel(state.track_id)),
+        status=np.asarray(sel(state.status)),
+        embed=np.asarray(sel(state.embed), np.float32),
+    )
+
+
 def load_galleries(out_dir: str) -> Dict[str, Dict[int, Tuple[np.ndarray, np.ndarray]]]:
     """{context: {camera: (track_ids (K,), embeds (K, E))}} with empty slots
     dropped (valid tracks only)."""

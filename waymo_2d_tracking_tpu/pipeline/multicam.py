@@ -34,21 +34,7 @@ def init_multicam_state(cfg, num_cams: int) -> TrackerState:
     return jax.tree.map(lambda x: jnp.stack([x] * num_cams), single)
 
 
-def write_gallery_sidecar(path_jsonl: str, state, cam_index=None) -> None:
-    """Final track-table embeddings next to a track JSONL, for `w2t link`.
-
-    state: host TrackerState (optionally with a leading camera/shard axis
-    selected by cam_index). Matches run.py's sidecar contract.
-    """
-    sel = (lambda x: x[cam_index]) if cam_index is not None else (lambda x: x)
-    if state.embed.shape[-1] <= 1:
-        return
-    np.savez(
-        path_jsonl[: -len(".jsonl")] + ".gallery.npz",
-        track_id=np.asarray(sel(state.track_id)),
-        status=np.asarray(sel(state.status)),
-        embed=np.asarray(sel(state.embed), np.float32),
-    )
+from waymo_2d_tracking_tpu.pipeline.link import write_gallery_sidecar  # noqa: E402  (canonical sidecar writer)
 
 
 class MultiCamPipeline:

@@ -167,13 +167,11 @@ class ShardedSegmentRunner:
             seg_state = end_snapshots[i]
             if seg_state is None:
                 seg_state = jax.tree.map(lambda x: x[i], final_states)
-            if seg_state.embed.shape[-1] > 1:
-                np.savez(
-                    seg_file[: -len(".jsonl")] + ".gallery.npz",
-                    track_id=np.asarray(seg_state.track_id),
-                    status=np.asarray(seg_state.status),
-                    embed=np.asarray(seg_state.embed, np.float32),
-                )
+            from waymo_2d_tracking_tpu.pipeline.link import (
+                write_gallery_sidecar,
+            )
+
+            write_gallery_sidecar(seg_file, seg_state)
             stats.append({
                 "context": seg.context_name,
                 "camera": seg.camera_name,
@@ -423,27 +421,14 @@ def run_context_groups_sharded(
 
 
 def _segment_src_hw(seg: SegmentFrames):
-    if seg.frames is not None:
-        return tuple(seg.frames.shape[1:3])
-    it = seg.chunk_iter(1)
-    try:
-        return tuple(next(it).shape[1:3])
-    finally:
-        it.close()
+    return seg.source_hw()
 
 
 def _segment_scale(seg: SegmentFrames, cfg) -> float:
     """network -> ORIGINAL pixels scale (letterbox over the decode-scaled
     source, composed with the decode scale — run_segment's rule)."""
     sd = cfg.pipeline.decode_scale_denom
-    if seg.frames is not None and sd == 1:
-        hs, ws = seg.frames.shape[1:3]
-    else:
-        it = seg.chunk_iter(1, scale_denom=sd)
-        try:
-            hs, ws = next(it).shape[1:3]
-        finally:
-            it.close()
+    hs, ws = seg.scaled_hw(sd)
     hd, wd = cfg.detector.image_size
     return min(hd / hs, wd / ws) / sd
 
@@ -486,13 +471,7 @@ def run_segments_sharded(
     g = runner.n_shards
 
     def _src_hw(seg: SegmentFrames):
-        if seg.frames is not None:
-            return tuple(seg.frames.shape[1:3])
-        it = seg.chunk_iter(1)
-        try:
-            return tuple(next(it).shape[1:3])
-        finally:
-            it.close()
+        return seg.source_hw()
 
     def _flush(group):
         nonlocal n_run

@@ -160,23 +160,21 @@ class DetectorTrainer:
         try:
             return ckptr.restore(path, jax.device_get(template))
         except (ValueError, KeyError) as e:
-            # stem-shape mismatch is the common pytree failure since the
-            # round-2 default flip conv7 -> s2d (ADVICE r2): a round-1 /
-            # torch-import checkpoint saved under the other stem won't
-            # restore against this config's tree. Point at the fix instead
-            # of surfacing a raw orbax structure error.
-            if "stem" in str(e) or "conv1" in str(e) or "s2d" in str(e):
-                raise ValueError(
-                    f"checkpoint at {path} does not match the current "
-                    f"detector stem (detector.stem="
-                    f"{self.cfg.detector.stem!r}). Checkpoints saved before "
-                    "the s2d default (or imported from torch without "
-                    "conversion) use stem='conv7' — set detector.stem=conv7 "
-                    "or convert with models.resnet.convert_stem_to_s2d / "
-                    "`w2t import-weights` (which converts automatically). "
-                    f"Original error: {e}"
-                ) from e
-            raise
+            # A pytree/structure mismatch has several possible causes; the
+            # common one since the round-2 default flip conv7 -> s2d
+            # (ADVICE r2) is a checkpoint saved under the other stem.
+            # Surface the guidance WITHOUT asserting the diagnosis —
+            # substring-sniffing the orbax error was shown to misattribute
+            # unrelated mismatches (e.g. fpn_channels) to the stem.
+            raise ValueError(
+                f"checkpoint at {path} does not match the current config's "
+                "parameter tree. If the checkpoint predates the s2d stem "
+                "default (or was imported from torch by hand), restore with "
+                "detector.stem=conv7 or convert exactly via "
+                "models.resnet.convert_stem_to_s2d / `w2t import-weights`; "
+                "otherwise check width/depth/class-count settings against "
+                f"the training config. Original error: {e}"
+            ) from e
 
 
 def train_loop(
