@@ -170,6 +170,12 @@ class TrainConfig:
     # device prefetch depth so the pjit train step is never host-starved
     input_workers: int = 2
     input_prefetch: int = 2
+    # ReID metric learning (round 3): batch-hard triplet loss over GT-box
+    # embeddings, driven by the track ids the COCO conversion preserves.
+    # 0 disables (detector-only training); needs detector.embed_dim > 0 and
+    # batches carrying gt_track_ids to have any effect
+    reid_loss_weight: float = 0.0
+    reid_margin: float = 0.3
 
 
 @dataclasses.dataclass(frozen=True)

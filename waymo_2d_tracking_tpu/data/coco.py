@@ -128,8 +128,14 @@ class CocoTrainDataset:
         with open(os.path.join(coco_dir, "annotations.json")) as f:
             coco = json.load(f)
         self.anns_by_img: dict = {}
+        # intern the (string) track ids the converter preserves — they
+        # drive the ReID metric loss (train/losses.py reid_triplet_loss)
+        self.track_id_intern: dict = {}
         for a in coco["annotations"]:
             self.anns_by_img.setdefault(a["image_id"], []).append(a)
+            tid = a.get("track_id")
+            if tid:
+                self.track_id_intern.setdefault(tid, len(self.track_id_intern))
         self.items = [(im["id"], im["file_name"]) for im in coco["images"]]
         self.coco_dir = coco_dir
         self.batch_size = batch_size
@@ -155,6 +161,7 @@ class CocoTrainDataset:
         gt_boxes = np.zeros((batch_size, max_gt, 4), np.float32)
         gt_classes = np.zeros((batch_size, max_gt), np.int32)
         gt_valid = np.zeros((batch_size, max_gt), bool)
+        gt_track_ids = np.full((batch_size, max_gt), -1, np.int32)
         for n, i in enumerate(idx):
             img_id, fname = items[i]
             bgr = cv2.imread(os.path.join(self.coco_dir, "images", fname))
@@ -200,6 +207,9 @@ class CocoTrainDataset:
                 gt_boxes[n, g] = [x1, y1, x2, y2]
                 gt_classes[n, g] = a["category_id"] - 1
                 gt_valid[n, g] = True
+                gt_track_ids[n, g] = self.track_id_intern.get(
+                    a.get("track_id"), -1
+                )
                 g += 1
         # normalize like data/preprocess
         from waymo_2d_tracking_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
@@ -212,6 +222,7 @@ class CocoTrainDataset:
             "gt_boxes": gt_boxes,
             "gt_classes": gt_classes,
             "gt_valid": gt_valid,
+            "gt_track_ids": gt_track_ids,
         }
 
     def batches(self, num_workers: int = 0) -> Iterator[dict]:

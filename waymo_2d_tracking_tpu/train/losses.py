@@ -150,3 +150,44 @@ def fcos_loss(
         "loss": loss, "loss_cls": loss_cls, "loss_box": loss_box,
         "loss_ctr": loss_ctr, "num_pos": total_pos,
     }
+
+
+def reid_triplet_loss(
+    embeds: jnp.ndarray,     # (N, G, E) L2-normalized GT-box embeddings
+    ids: jnp.ndarray,        # (N, G) int track ids (-1 = invalid)
+    valid: jnp.ndarray,      # (N, G) bool
+    margin: float = 0.3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch-hard triplet loss over cosine distance (Hermans et al. 2017,
+    the standard ReID objective): for each valid anchor, the HARDEST
+    positive (same id elsewhere in the batch) and HARDEST negative
+    (different id); hinge at ``margin``. Identities must recur across
+    frames in the batch for positives to exist — data/coco.py's
+    track-id-carrying batches provide that.
+
+    Returns (mean loss over active anchors, active-anchor count). Anchors
+    without both a positive and a negative contribute nothing (count 0 ->
+    loss 0), so the term is safe to add unconditionally.
+    """
+    n, g, e = embeds.shape
+    flat_e = embeds.reshape(n * g, e).astype(jnp.float32)
+    flat_id = ids.reshape(n * g)
+    flat_ok = jnp.logical_and(valid.reshape(n * g), flat_id >= 0)
+
+    dist = 1.0 - flat_e @ flat_e.T                       # cosine distance
+    same = flat_id[:, None] == flat_id[None, :]
+    pair_ok = jnp.logical_and(flat_ok[:, None], flat_ok[None, :])
+    eye = jnp.eye(n * g, dtype=bool)
+    pos_mask = same & pair_ok & ~eye
+    neg_mask = (~same) & pair_ok
+
+    big = jnp.float32(4.0)   # > max cosine distance (2)
+    hardest_pos = jnp.max(jnp.where(pos_mask, dist, -big), axis=1)
+    hardest_neg = jnp.min(jnp.where(neg_mask, dist, big), axis=1)
+    active = jnp.logical_and(
+        jnp.logical_and(pos_mask.any(axis=1), neg_mask.any(axis=1)), flat_ok
+    )
+    per_anchor = jnp.maximum(hardest_pos - hardest_neg + margin, 0.0)
+    count = jnp.sum(active)
+    loss = jnp.sum(jnp.where(active, per_anchor, 0.0)) / jnp.maximum(count, 1)
+    return loss, count

@@ -22,7 +22,7 @@ from flax.core import FrozenDict
 from waymo_2d_tracking_tpu.config import Config, TrainConfig
 from waymo_2d_tracking_tpu.models.detector import Detector
 from waymo_2d_tracking_tpu.parallel import sharding as shd
-from waymo_2d_tracking_tpu.train.losses import fcos_loss
+from waymo_2d_tracking_tpu.train.losses import fcos_loss, reid_triplet_loss
 
 
 @struct.dataclass
@@ -85,11 +85,20 @@ class DetectorTrainer:
         gt_valid (N,G). Sharded over 'data' by the caller; params replicated
         => XLA derives the grad all-reduce."""
 
+        reid_on = (
+            self.cfg.train.reid_loss_weight > 0
+            and self.cfg.detector.embed_dim > 0
+            and "gt_track_ids" in batch
+        )
+
         def loss_fn(params):
-            (head_out, _feats), updates = self.model.apply(
+            from waymo_2d_tracking_tpu.models.detector import Detector
+
+            (head_out, gt_embeds), updates = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["images"],
-                train=True,
+                rois=batch["gt_boxes"] if reid_on else None,
+                method=Detector.forward_train,
                 mutable=["batch_stats"],
             )
             loss, metrics = fcos_loss(
@@ -101,6 +110,14 @@ class DetectorTrainer:
                 focal_alpha=self.cfg.train.focal_alpha,
                 focal_gamma=self.cfg.train.focal_gamma,
             )
+            if reid_on:
+                reid_l, n_active = reid_triplet_loss(
+                    gt_embeds, batch["gt_track_ids"], batch["gt_valid"],
+                    margin=self.cfg.train.reid_margin,
+                )
+                loss = loss + self.cfg.train.reid_loss_weight * reid_l
+                metrics = dict(metrics, reid_loss=reid_l,
+                               reid_active=n_active)
             return loss, (metrics, updates["batch_stats"])
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
