@@ -198,3 +198,50 @@ def test_scale_image_shapes():
     y = scale_image(x, 0.5)
     assert y.shape == (2, 32, 48, 3)
     np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-5)
+
+
+def test_multicam_manifest_resume_and_fault_injection(tmp_path):
+    """Round 3: the non-sharded config-4 driver gets the same
+    manifest-resume contract as every other driver — completed contexts
+    skip on rerun; fail_after exercises the resume path."""
+    import dataclasses
+    import json as _json
+    import os
+
+    from waymo_2d_tracking_tpu.pipeline.multicam import run_context_groups
+    from waymo_2d_tracking_tpu.pipeline.run import SegmentFrames
+
+    cfg = dataclasses.replace(
+        SLIM,
+        detector=dataclasses.replace(SLIM.detector, embed_dim=8),
+        tracker=dataclasses.replace(SLIM.tracker, embed_dim=8),
+    )
+    pipe = MultiCamPipeline(cfg, num_cams=2, rng=jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+
+    def contexts():
+        segs = []
+        for name in ("ctxA", "ctxB", "ctxC"):
+            stamps = [1000 * i for i in range(4)]
+            for cam in (1, 2):
+                segs.append(SegmentFrames(
+                    context_name=name, camera_name=cam, timestamps=stamps,
+                    frames=rng.integers(0, 255, (4, 72, 104, 3),
+                                        dtype=np.uint8),
+                ))
+        return segs
+
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        run_context_groups(pipe, contexts(), out, fail_after=1)
+    manifest = os.path.join(out, "manifest.jsonl")
+    done = [_json.loads(l)["key"] for l in open(manifest) if l.strip()]
+    assert len(done) == 2   # one completed context x two cameras
+
+    # resume completes only the remaining contexts
+    stats = run_context_groups(pipe, contexts(), out)
+    assert len(stats) == 4
+    done = [_json.loads(l)["key"] for l in open(manifest) if l.strip()]
+    assert sorted(done) == [f"ctx{c}/{cam}" for c in "ABC" for cam in (1, 2)]
+    # rerun is a no-op
+    assert run_context_groups(pipe, contexts(), out) == []

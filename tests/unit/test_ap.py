@@ -1,6 +1,7 @@
 """Detection AP evaluator tests (eval/ap.py): hand-computed oracle values,
 COCO matching rules, and the submission-record grouping helper."""
 import numpy as np
+import pytest
 
 from waymo_2d_tracking_tpu.eval.ap import (
     average_precision,
@@ -84,3 +85,25 @@ def test_records_to_frames_roundtrip():
     # self-eval: predictions == GT must be perfect
     out = evaluate_detections(pred, gt, num_classes=3)
     assert out["mAP"] == 1.0, out
+
+
+def test_size_stratified_ap():
+    """COCO APs/APm/APl: GT outside the size range is IGNORED (not counted
+    toward recall; detections matching it dropped, not false positives)."""
+    small = [4.0, 4.0, 20.0, 20.0]       # 16x16 = 256 < 32^2
+    large = [0.0, 0.0, 200.0, 200.0]     # 200x200 > 96^2
+    gt = [("f0", np.array([small, large]), np.array([0, 0]))]
+    # detect both perfectly
+    pred = [("f0", np.array([small, large]), np.array([0.9, 0.8]),
+             np.array([0, 0]))]
+    out = evaluate_detections(pred, gt, num_classes=1)
+    assert out["mAP"] == pytest.approx(1.0)
+    assert out["APs"] == pytest.approx(1.0)   # large GT ignored, its match dropped
+    assert out["APl"] == pytest.approx(1.0)
+    assert "APm" not in out                   # no medium GT anywhere
+
+    # detect only the large one: APs has zero TP -> 0; APl still perfect
+    pred2 = [("f0", np.array([large]), np.array([0.8]), np.array([0]))]
+    out2 = evaluate_detections(pred2, gt, num_classes=1)
+    assert out2["APl"] == pytest.approx(1.0)
+    assert out2["APs"] == pytest.approx(0.0)

@@ -76,14 +76,15 @@ def cmd_track(args):
                 ):
                     print(json.dumps(s))
             else:
-                groups = {}
-                for seg in segs:
-                    groups.setdefault(seg.context_name, []).append(seg)
-                for ctx in sorted(groups):
-                    for s in pipeline.run_segments_group(
-                        groups[ctx], args.out_dir
-                    ):
-                        print(json.dumps(s))
+                from waymo_2d_tracking_tpu.pipeline.multicam import (
+                    run_context_groups,
+                )
+
+                for s in run_context_groups(
+                    pipeline, segs, args.out_dir,
+                    fail_after=args.fail_after_n_segments,
+                ):
+                    print(json.dumps(s))
         return
 
     pipeline = SegmentPipeline(cfg, rng=jax.random.PRNGKey(args.seed))

@@ -44,13 +44,20 @@ def average_precision(
     preds: Mapping[object, Tuple[np.ndarray, np.ndarray]],
     gts: Mapping[object, np.ndarray],
     iou_thr: float,
+    gt_ignore: Mapping[object, np.ndarray] | None = None,
 ) -> float:
     """AP for ONE class at one IoU threshold.
 
     preds: image_key -> (boxes (D,4) xyxy, scores (D,)).
     gts:   image_key -> boxes (G,4) xyxy.
+    gt_ignore: image_key -> bool (G,) — COCO "ignored" GT (e.g. outside a
+      size range): they don't count toward recall, and a detection whose
+      best feasible match is an ignored GT is dropped (neither TP nor FP).
     """
-    num_gt = sum(len(g) for g in gts.values())
+    num_gt = sum(
+        int((~gt_ignore[img]).sum()) if gt_ignore else len(g)
+        for img, g in gts.items()
+    )
     rows: List[Tuple[float, object, int]] = []  # (score, img, det_idx)
     for img, (boxes, scores) in preds.items():
         for d in range(len(boxes)):
@@ -73,13 +80,21 @@ def average_precision(
             continue
         box = preds[img][0][d]
         ious = _iou_matrix(gt_boxes, box[None])[:, 0]
-        ious = np.where(matched[img], -1.0, ious)  # COCO: best UNMATCHED gt
-        g = int(np.argmax(ious))
-        if ious[g] >= iou_thr:
+        avail = np.where(matched[img], -1.0, ious)  # COCO: best UNMATCHED gt
+        ign = (gt_ignore[img] if gt_ignore is not None
+               else np.zeros(len(gt_boxes), bool))
+        # prefer a counted (non-ignored) match; fall back to ignored
+        counted = np.where(ign, -1.0, avail)
+        g = int(np.argmax(counted))
+        if counted[g] >= iou_thr:
             matched[img][g] = True
             tp[i] = 1
-        else:
-            fp[i] = 1
+            continue
+        g_ign = int(np.argmax(np.where(ign, avail, -1.0)))
+        if ign.any() and np.where(ign, avail, -1.0)[g_ign] >= iou_thr:
+            matched[img][g_ign] = True   # consumed, but neither TP nor FP
+            continue
+        fp[i] = 1
     tp_cum = np.cumsum(tp)
     fp_cum = np.cumsum(fp)
     recall = tp_cum / num_gt
@@ -100,7 +115,16 @@ def evaluate_detections(
     Returns {"mAP", "AP50", "AP75", "AP_class<k>"...} (NaN-classes — no GT —
     are excluded from means, per COCO).
     """
+    # COCO size strata (areas in source pixels): AP over [.5:.95] with GT
+    # outside the range ignored, matched-to-ignored detections dropped
+    area_ranges = {
+        "s": (0.0, 32.0 ** 2),
+        "m": (32.0 ** 2, 96.0 ** 2),
+        "l": (96.0 ** 2, float("inf")),
+    }
     per_thr_cls = np.full((len(iou_thrs), num_classes), np.nan)
+    per_size = {k: np.full((len(iou_thrs), num_classes), np.nan)
+                for k in area_ranges}
     for cls in range(num_classes):
         preds = {}
         for key, boxes, scores, classes in pred_frames:
@@ -110,12 +134,28 @@ def evaluate_detections(
         for key, boxes, classes in gt_frames:
             m = np.asarray(classes) == cls
             gts[key] = np.asarray(boxes)[m]
+        areas = {
+            key: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+            if len(b) else np.zeros(0)
+            for key, b in gts.items()
+        }
         for t, thr in enumerate(iou_thrs):
             per_thr_cls[t, cls] = average_precision(preds, gts, float(thr))
+            for name, (lo, hi) in area_ranges.items():
+                ignore = {
+                    key: ~((a >= lo) & (a < hi)) for key, a in areas.items()
+                }
+                per_size[name][t, cls] = average_precision(
+                    preds, gts, float(thr), gt_ignore=ignore
+                )
 
     out: Dict[str, float] = {}
     valid = ~np.isnan(per_thr_cls)
     out["mAP"] = float(np.mean(per_thr_cls[valid])) if valid.any() else 0.0
+    for name in area_ranges:
+        v = ~np.isnan(per_size[name])
+        if v.any():
+            out[f"AP{name}"] = float(np.mean(per_size[name][v]))
     for label, thr in (("AP50", 0.5), ("AP75", 0.75)):
         # only report the key when the threshold is actually evaluated —
         # nearest-argmin used to silently relabel AP at a different

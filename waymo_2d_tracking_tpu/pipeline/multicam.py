@@ -180,3 +180,58 @@ class MultiCamPipeline:
         stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
         stacked = jax.tree.map(lambda x: x[:t_total], stacked)
         return states, stacked, scale
+
+
+def run_context_groups(
+    pipeline: MultiCamPipeline,
+    segments,
+    out_dir: str,
+    fail_after=None,
+):
+    """Manifest-resumable single-device multicam driver (`w2t track
+    --multicam`): per-camera segments grouped into contexts; completed
+    (context, camera) keys recorded in manifest.jsonl and skipped on rerun —
+    the same failure-recovery contract as run_segments /
+    run_context_groups_sharded (the non-sharded config-4 path used to be
+    the one driver without resume).
+
+    fail_after: test hook — raise after N completed contexts.
+    """
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    done = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            for line in f:
+                if line.strip():
+                    done.add(json.loads(line)["key"])
+
+    by_ctx: Dict[str, List] = {}
+    for seg in segments:
+        by_ctx.setdefault(seg.context_name, []).append(seg)
+
+    all_stats: List[dict] = []
+    n_run = 0
+    for ctx in sorted(by_ctx):
+        segs = by_ctx[ctx]
+        assert len(segs) == pipeline.num_cams, (
+            f"context {ctx} has {len(segs)} cameras, "
+            f"pipeline expects {pipeline.num_cams}"
+        )
+        if all(f"{s.context_name}/{s.camera_name}" in done for s in segs):
+            continue
+        if fail_after is not None and n_run >= fail_after:
+            raise RuntimeError(
+                f"fault injection: stopping after {fail_after} contexts"
+            )
+        stats = pipeline.run_segments_group(segs, out_dir)
+        with open(manifest_path, "a") as f:
+            for st in stats:
+                f.write(json.dumps(
+                    {"key": f"{st['context']}/{st['camera']}", **st}
+                ) + "\n")
+        all_stats.extend(stats)
+        n_run += 1
+    return all_stats
