@@ -200,6 +200,7 @@ def test_scale_image_shapes():
     np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_multicam_manifest_resume_and_fault_injection(tmp_path):
     """Round 3: the non-sharded config-4 driver gets the same
     manifest-resume contract as every other driver — completed contexts

@@ -107,3 +107,18 @@ def test_size_stratified_ap():
     out2 = evaluate_detections(pred2, gt, num_classes=1)
     assert out2["APl"] == pytest.approx(1.0)
     assert out2["APs"] == pytest.approx(0.0)
+
+
+def test_size_ap_ignores_unmatched_out_of_stratum_detections():
+    """pycocotools dtIg-by-area: a spurious LARGE detection must not count
+    as a false positive for APs (review r3 protocol fix)."""
+    small = [4.0, 4.0, 20.0, 20.0]
+    spurious_large = [100.0, 100.0, 300.0, 300.0]   # overlaps nothing
+    gt = [("f0", np.array([small]), np.array([0]))]
+    pred = [("f0", np.array([spurious_large, small]),
+             np.array([0.95, 0.9]), np.array([0, 0]))]
+    out = evaluate_detections(pred, gt, num_classes=1)
+    # APs: the large spurious det is ignored-by-area, small GT matched -> 1.0
+    assert out["APs"] == pytest.approx(1.0)
+    # overall mAP still penalizes the spurious detection
+    assert out["mAP"] < 1.0

@@ -370,3 +370,41 @@ def test_source_hw_cached_single_probe(tmp_path):
         assert len(calls) == 1, "source_hw probe not cached"
     finally:
         pp.decode_jpeg_host = orig
+
+
+def test_track_ids_namespaced_by_context_and_context_sampling(tmp_path):
+    """Review r3: the same track-id string in two segments must intern to
+    two DIFFERENT identities, and sample_by_context batches draw all frames
+    from one segment (giving the triplet loss its recurring identities)."""
+    import cv2
+
+    from waymo_2d_tracking_tpu.data.coco import (
+        CocoTrainDataset,
+        convert_segments_to_coco,
+    )
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+
+    rng = np.random.default_rng(0)
+    data = str(tmp_path / "data")
+    for ctx in ("segA", "segB"):
+        frames, labels = [], []
+        for t in range(3):
+            img = rng.integers(0, 255, (32, 48, 3), np.uint8)
+            frames.append(img)
+            # SAME id string "obj0" in both segments
+            labels.append(subm.TrackRecord.from_xyxy(
+                ctx, 1000 * t, 1, "obj0", 1, (4, 4, 20, 20), 1.0))
+        waymo.materialize_directory_segment(
+            data, ctx, np.stack(frames), [1000 * t for t in range(3)],
+            labels=labels,
+        )
+    coco = str(tmp_path / "coco")
+    convert_segments_to_coco(data, coco)
+    ds = CocoTrainDataset(coco, 4, (32, 48), seed=0, sample_by_context=True)
+    # two distinct interned identities despite identical strings
+    assert len(ds.track_id_intern) == 2
+    # each batch draws from exactly one context -> exactly one id value
+    for i in range(6):
+        b = ds.make_batch(i)
+        ids = b["gt_track_ids"][b["gt_valid"]]
+        assert len(set(ids.tolist())) == 1, ids

@@ -291,6 +291,10 @@ def cmd_train(args):
             color_jitter=cfg.train.aug_color_jitter,
             num_workers=cfg.train.input_workers,
             prefetch_depth=cfg.train.input_prefetch,
+            # identity-aware batching: the ReID triplet loss needs the same
+            # track to recur within a batch — draw each batch from one
+            # segment context when the metric loss is on
+            sample_by_context=cfg.train.reid_loss_weight > 0,
         )
     else:  # synthetic smoke-training
         rng = np.random.default_rng(args.seed)

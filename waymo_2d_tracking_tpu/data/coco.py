@@ -43,7 +43,8 @@ def convert_segments_to_coco(segments_dir: str, out_dir: str) -> int:
                     fname = f"{img_id:08d}.jpg"
                     with open(os.path.join(out_dir, "images", fname), "wb") as f:
                         f.write(jpeg)
-                    images.append({"id": img_id, "file_name": fname})
+                    images.append({"id": img_id, "file_name": fname,
+                                   "context": fr["context_name"] or entry})
                     for lab in fr["labels"].get(cam, []):
                         x1, y1, x2, y2 = lab["xyxy"]
                         ann_id += 1
@@ -73,7 +74,8 @@ def convert_segments_to_coco(segments_dir: str, out_dir: str) -> int:
                         os.path.join(out_dir, "images", fname), "wb"
                     ) as fo:
                         fo.write(fi.read())
-                    images.append({"id": img_id, "file_name": fname})
+                    images.append({"id": img_id, "file_name": fname,
+                                   "context": meta["context_name"]})
                     for r in by_frame.get((ts, cam_id), []):
                         x1, y1, x2, y2 = r.to_xyxy()
                         ann_id += 1
@@ -124,19 +126,34 @@ class CocoTrainDataset:
         scale_range: Tuple[float, float] = (1.0, 1.0),
         color_jitter: float = 0.0,
         min_box_px: float = 2.0,
+        sample_by_context: bool = False,
     ):
         with open(os.path.join(coco_dir, "annotations.json")) as f:
             coco = json.load(f)
         self.anns_by_img: dict = {}
-        # intern the (string) track ids the converter preserves — they
-        # drive the ReID metric loss (train/losses.py reid_triplet_loss)
+        # Intern track ids NAMESPACED by the image's segment context — the
+        # same id string in two segments labels two different physical
+        # objects (materialize_directory_segment reuses obj0/obj1...), and
+        # aliasing them would corrupt the ReID metric signal. `is not None`
+        # (not truthiness): integer id 0 is a valid track.
+        ctx_of_img = {im["id"]: im.get("context", "") for im in coco["images"]}
         self.track_id_intern: dict = {}
         for a in coco["annotations"]:
             self.anns_by_img.setdefault(a["image_id"], []).append(a)
             tid = a.get("track_id")
-            if tid:
-                self.track_id_intern.setdefault(tid, len(self.track_id_intern))
+            if tid is not None and tid != "":
+                key = (ctx_of_img.get(a["image_id"], ""), tid)
+                self.track_id_intern.setdefault(key, len(self.track_id_intern))
+        self._ctx_of_img = ctx_of_img
         self.items = [(im["id"], im["file_name"]) for im in coco["images"]]
+        # context-local sampling (identity-aware batching): the triplet
+        # loss needs the SAME identity to recur within a batch; uniform
+        # sampling over a multi-segment corpus almost never delivers that.
+        # When enabled, each batch draws all its frames from ONE context.
+        self.sample_by_context = sample_by_context
+        self._items_by_ctx: dict = {}
+        for i, im in enumerate(coco["images"]):
+            self._items_by_ctx.setdefault(im.get("context", ""), []).append(i)
         self.coco_dir = coco_dir
         self.batch_size = batch_size
         self.image_hw = image_hw
@@ -155,8 +172,16 @@ class CocoTrainDataset:
         batch_size, max_gt = self.batch_size, self.max_gt
         hd, wd = self.image_hw
         items, anns_by_img = self.items, self.anns_by_img
-        idx = rng.choice(len(items), size=batch_size,
-                         replace=len(items) < batch_size)
+        if self.sample_by_context:
+            ctx = sorted(self._items_by_ctx)[
+                int(rng.integers(len(self._items_by_ctx)))
+            ]
+            pool = self._items_by_ctx[ctx]
+            idx = rng.choice(pool, size=batch_size,
+                             replace=len(pool) < batch_size)
+        else:
+            idx = rng.choice(len(items), size=batch_size,
+                             replace=len(items) < batch_size)
         images = np.zeros((batch_size, hd, wd, 3), np.float32)
         gt_boxes = np.zeros((batch_size, max_gt, 4), np.float32)
         gt_classes = np.zeros((batch_size, max_gt), np.int32)
@@ -208,7 +233,7 @@ class CocoTrainDataset:
                 gt_classes[n, g] = a["category_id"] - 1
                 gt_valid[n, g] = True
                 gt_track_ids[n, g] = self.track_id_intern.get(
-                    a.get("track_id"), -1
+                    (self._ctx_of_img.get(img_id, ""), a.get("track_id")), -1
                 )
                 g += 1
         # normalize like data/preprocess
@@ -262,6 +287,7 @@ def coco_batch_iterator(
     min_box_px: float = 2.0,
     num_workers: int = 0,
     prefetch_depth: int = 0,
+    sample_by_context: bool = False,
 ) -> Iterator[dict]:
     """Infinite shuffled training batches (SURVEY.md §3.3 input pipeline).
 
@@ -277,6 +303,7 @@ def coco_batch_iterator(
         coco_dir, batch_size, image_hw, max_gt=max_gt, seed=seed,
         flip_augment=flip_augment, scale_range=scale_range,
         color_jitter=color_jitter, min_box_px=min_box_px,
+        sample_by_context=sample_by_context,
     )
     gen = ds.batches(num_workers=num_workers)
     if prefetch_depth > 0:

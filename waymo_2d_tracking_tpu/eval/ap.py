@@ -45,6 +45,7 @@ def average_precision(
     gts: Mapping[object, np.ndarray],
     iou_thr: float,
     gt_ignore: Mapping[object, np.ndarray] | None = None,
+    det_ignore: Mapping[object, np.ndarray] | None = None,
 ) -> float:
     """AP for ONE class at one IoU threshold.
 
@@ -53,9 +54,13 @@ def average_precision(
     gt_ignore: image_key -> bool (G,) — COCO "ignored" GT (e.g. outside a
       size range): they don't count toward recall, and a detection whose
       best feasible match is an ignored GT is dropped (neither TP nor FP).
+    det_ignore: image_key -> bool (D,) — detections dropped when they end up
+      UNMATCHED (pycocotools dtIg-by-area: a spurious detection whose own
+      size is outside the evaluated range must not count as a false
+      positive for that range).
     """
     num_gt = sum(
-        int((~gt_ignore[img]).sum()) if gt_ignore else len(g)
+        int((~gt_ignore[img]).sum()) if gt_ignore is not None else len(g)
         for img, g in gts.items()
     )
     rows: List[Tuple[float, object, int]] = []  # (score, img, det_idx)
@@ -74,9 +79,10 @@ def average_precision(
     tp = np.zeros(len(rows))
     fp = np.zeros(len(rows))
     for i, (_score, img, d) in enumerate(rows):
+        d_ign = bool(det_ignore[img][d]) if det_ignore is not None else False
         gt_boxes = gts.get(img, np.zeros((0, 4)))
         if len(gt_boxes) == 0:
-            fp[i] = 1
+            fp[i] = 0 if d_ign else 1
             continue
         box = preds[img][0][d]
         ious = _iou_matrix(gt_boxes, box[None])[:, 0]
@@ -94,7 +100,8 @@ def average_precision(
         if ign.any() and np.where(ign, avail, -1.0)[g_ign] >= iou_thr:
             matched[img][g_ign] = True   # consumed, but neither TP nor FP
             continue
-        fp[i] = 1
+        if not d_ign:
+            fp[i] = 1
     tp_cum = np.cumsum(tp)
     fp_cum = np.cumsum(fp)
     recall = tp_cum / num_gt
@@ -134,19 +141,27 @@ def evaluate_detections(
         for key, boxes, classes in gt_frames:
             m = np.asarray(classes) == cls
             gts[key] = np.asarray(boxes)[m]
-        areas = {
-            key: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-            if len(b) else np.zeros(0)
-            for key, b in gts.items()
+        def _areas(boxes):
+            return ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+                    if len(boxes) else np.zeros(0))
+
+        gt_areas = {key: _areas(b) for key, b in gts.items()}
+        det_areas = {key: _areas(b) for key, (b, _s) in preds.items()}
+        # per-stratum ignore masks depend only on the stratum — built once,
+        # shared across the IoU-threshold loop
+        strata = {
+            name: (
+                {k: ~((a >= lo) & (a < hi)) for k, a in gt_areas.items()},
+                {k: ~((a >= lo) & (a < hi)) for k, a in det_areas.items()},
+            )
+            for name, (lo, hi) in area_ranges.items()
         }
         for t, thr in enumerate(iou_thrs):
             per_thr_cls[t, cls] = average_precision(preds, gts, float(thr))
-            for name, (lo, hi) in area_ranges.items():
-                ignore = {
-                    key: ~((a >= lo) & (a < hi)) for key, a in areas.items()
-                }
+            for name, (g_ign, d_ign) in strata.items():
                 per_size[name][t, cls] = average_precision(
-                    preds, gts, float(thr), gt_ignore=ignore
+                    preds, gts, float(thr), gt_ignore=g_ign,
+                    det_ignore=d_ign,
                 )
 
     out: Dict[str, float] = {}

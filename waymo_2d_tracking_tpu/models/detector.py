@@ -34,6 +34,26 @@ from waymo_2d_tracking_tpu.types import Detections
 _CLASS_NMS_OFFSET = 1e5
 
 
+def _pool_reid_features(p_feats, boxes, cfg: DetectorConfig):
+    """RoIAlign pyramid features for ReID — the ONE pooling rule shared by
+    inference (_detect_impl) and training (forward_train), so the learned
+    metric sees identical feature distributions in both."""
+    if cfg.reid_multilevel:
+        # pool from P3..P5 only (the torchvision MultiScaleRoIAlign
+        # convention): P6/P7 are detection-only extra-stride levels
+        lvls = [l for l in cfg.fpn_levels if l <= 5]
+        return roi_align_multilevel_batched(
+            {lvl: p_feats[lvl] for lvl in lvls},
+            boxes,
+            {lvl: 2 ** lvl for lvl in lvls},
+            output_size=7,
+        )
+    lvl0 = min(cfg.fpn_levels)
+    return roi_align_batched(
+        p_feats[lvl0], boxes, spatial_scale=1.0 / (2 ** lvl0), output_size=7,
+    )
+
+
 class Detector(nn.Module):
     """Raw forward: images (N, H, W, 3) -> per-level head outputs + P3."""
 
@@ -93,11 +113,10 @@ class Detector(nn.Module):
         head_out, p_feats = self(images, train=True)
         embeds = None
         if rois is not None and self.cfg.embed_dim > 0:
-            lvl0 = min(self.cfg.fpn_levels)
-            pooled = roi_align_batched(
-                p_feats[lvl0], rois, spatial_scale=1.0 / (2 ** lvl0),
-                output_size=7,
-            )
+            # pool exactly like inference (DetectorRunner._detect_impl) so
+            # the trained metric sees the same feature distribution —
+            # including the reid_multilevel scale-matched pooling
+            pooled = _pool_reid_features(p_feats, rois, self.cfg)
             n, g = rois.shape[:2]
             flat = pooled.reshape((n * g,) + pooled.shape[2:])
             embeds = self.reid(flat).reshape(n, g, -1)
@@ -269,22 +288,7 @@ class DetectorRunner:
         )
         n, d = boxes.shape[:2]
         if self.cfg.embed_dim > 0:
-            if self.cfg.reid_multilevel:
-                # pool from P3..P5 only (the torchvision MultiScaleRoIAlign
-                # convention): P6/P7 are detection-only extra-stride levels
-                lvls = [l for l in self.cfg.fpn_levels if l <= 5]
-                pooled = roi_align_multilevel_batched(
-                    {lvl: p_feats[lvl] for lvl in lvls},
-                    boxes,
-                    {lvl: 2 ** lvl for lvl in lvls},
-                    output_size=7,
-                )
-            else:
-                lvl0 = min(self.cfg.fpn_levels)
-                pooled = roi_align_batched(
-                    p_feats[lvl0], boxes, spatial_scale=1.0 / (2 ** lvl0),
-                    output_size=7,
-                )
+            pooled = _pool_reid_features(p_feats, boxes, self.cfg)
             flat = pooled.reshape((n * d,) + pooled.shape[2:])
             embeds = self.module.apply(params, flat, method=Detector.embed)
             embeds = embeds.reshape(n, d, -1) * valid[..., None]

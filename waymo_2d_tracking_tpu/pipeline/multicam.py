@@ -197,16 +197,13 @@ def run_context_groups(
 
     fail_after: test hook — raise after N completed contexts.
     """
-    import json
+    from waymo_2d_tracking_tpu.pipeline.manifest import (
+        append_manifest,
+        load_done_keys,
+        segment_key,
+    )
 
-    os.makedirs(out_dir, exist_ok=True)
-    manifest_path = os.path.join(out_dir, "manifest.jsonl")
-    done = set()
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            for line in f:
-                if line.strip():
-                    done.add(json.loads(line)["key"])
+    done = load_done_keys(out_dir)
 
     by_ctx: Dict[str, List] = {}
     for seg in segments:
@@ -220,18 +217,14 @@ def run_context_groups(
             f"context {ctx} has {len(segs)} cameras, "
             f"pipeline expects {pipeline.num_cams}"
         )
-        if all(f"{s.context_name}/{s.camera_name}" in done for s in segs):
+        if all(segment_key(s.context_name, s.camera_name) in done for s in segs):
             continue
         if fail_after is not None and n_run >= fail_after:
             raise RuntimeError(
                 f"fault injection: stopping after {fail_after} contexts"
             )
         stats = pipeline.run_segments_group(segs, out_dir)
-        with open(manifest_path, "a") as f:
-            for st in stats:
-                f.write(json.dumps(
-                    {"key": f"{st['context']}/{st['camera']}", **st}
-                ) + "\n")
+        append_manifest(out_dir, stats)
         all_stats.extend(stats)
         n_run += 1
     return all_stats

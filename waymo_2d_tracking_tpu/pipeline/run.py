@@ -284,19 +284,17 @@ def run_segments(
 
     fail_after: test hook — raise after N segments to exercise resume.
     """
-    os.makedirs(out_dir, exist_ok=True)
-    manifest_path = os.path.join(out_dir, "manifest.jsonl")
-    done = set()
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            for line in f:
-                if line.strip():
-                    done.add(json.loads(line)["key"])
+    from waymo_2d_tracking_tpu.pipeline.manifest import (
+        append_manifest,
+        load_done_keys,
+        segment_key,
+    )
 
+    done = load_done_keys(out_dir)
     all_stats = []
     n_run = 0
     for seg in segments:
-        key = f"{seg.context_name}/{seg.camera_name}"
+        key = segment_key(seg.context_name, seg.camera_name)
         if key in done:
             continue
         if fail_after is not None and n_run >= fail_after:
@@ -315,8 +313,7 @@ def run_segments(
             )
 
             write_gallery_sidecar(seg_file, state)
-        with open(manifest_path, "a") as f:
-            f.write(json.dumps({"key": key, **stats}) + "\n")
+        append_manifest(out_dir, [stats])
         all_stats.append(stats)
         n_run += 1
     return all_stats

@@ -363,14 +363,13 @@ def run_context_groups_sharded(
 
     mesh = mesh or make_mesh()
     runner = ShardedMultiCamRunner(pipeline, mesh)
-    os.makedirs(out_dir, exist_ok=True)
-    manifest_path = os.path.join(out_dir, "manifest.jsonl")
-    done = set()
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            for line in f:
-                if line.strip():
-                    done.add(json.loads(line)["key"])
+    from waymo_2d_tracking_tpu.pipeline.manifest import (
+        append_manifest,
+        load_done_keys,
+        segment_key,
+    )
+
+    done = load_done_keys(out_dir)
 
     # contexts must be assembled before grouping (cameras of one context can
     # arrive interleaved); each context stays lazy — JPEG bytes decode in
@@ -392,11 +391,7 @@ def run_context_groups_sharded(
                 f"fault injection: stopping after {fail_after} contexts"
             )
         stats = runner.run_context_group(group, out_dir)
-        with open(manifest_path, "a") as f:
-            for st in stats:
-                f.write(json.dumps(
-                    {"key": f"{st['context']}/{st['camera']}", **st}
-                ) + "\n")
+        append_manifest(out_dir, stats)
         all_stats.extend(stats)
         n_run += len(group)
 
@@ -407,7 +402,7 @@ def run_context_groups_sharded(
             f"context {ctx} has {len(segs)} cameras, "
             f"pipeline expects {pipeline.num_cams}"
         )
-        if all(f"{s.context_name}/{s.camera_name}" in done for s in segs):
+        if all(segment_key(s.context_name, s.camera_name) in done for s in segs):
             continue
         hw = _segment_src_hw(segs[0])
         bucket = buckets.setdefault(hw, [])
@@ -457,14 +452,13 @@ def run_segments_sharded(
 
     mesh = mesh or make_mesh()
     runner = ShardedSegmentRunner(pipeline, mesh)
-    os.makedirs(out_dir, exist_ok=True)
-    manifest_path = os.path.join(out_dir, "manifest.jsonl")
-    done = set()
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            for line in f:
-                if line.strip():
-                    done.add(json.loads(line)["key"])
+    from waymo_2d_tracking_tpu.pipeline.manifest import (
+        append_manifest,
+        load_done_keys,
+        segment_key,
+    )
+
+    done = load_done_keys(out_dir)
 
     all_stats = []
     n_run = 0
@@ -482,16 +476,13 @@ def run_segments_sharded(
                 f"fault injection: stopping after {fail_after} segments"
             )
         stats = runner.run_group(group, out_dir)
-        with open(manifest_path, "a") as f:
-            for seg, st in zip(group, stats):
-                key = f"{seg.context_name}/{seg.camera_name}"
-                f.write(json.dumps({"key": key, **st}) + "\n")
+        append_manifest(out_dir, stats)
         all_stats.extend(stats)
         n_run += len(group)
 
     buckets: dict = {}   # src_hw -> pending segments (each bucket < g long)
     for seg in segments:
-        if f"{seg.context_name}/{seg.camera_name}" in done:
+        if segment_key(seg.context_name, seg.camera_name) in done:
             continue
         hw = _src_hw(seg)
         bucket = buckets.setdefault(hw, [])
