@@ -121,11 +121,13 @@ class MultiCamPipeline:
                 states, outputs, scale = self._chunk_step(
                     self.params, states, jnp.asarray(frames), src_hw
                 )
-                outs.append(jax.device_get(outputs))
+                outs.append(outputs)   # fetched once after the loop: keep
+                                       # the dispatch chain fully async
         finally:
             for it in iters:
                 it.close()
 
+        outs = [jax.device_get(o) for o in outs]
         stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
         stacked = jax.tree.map(lambda x: x[:t_total], stacked)
         final_states = jax.device_get(states)
@@ -176,7 +178,8 @@ class MultiCamPipeline:
             states, outputs, scale = self._chunk_step(
                 self.params, states, jnp.asarray(block), src_hw
             )
-            outs.append(jax.device_get(outputs))
+            outs.append(outputs)   # async; one fetch after the loop
+        outs = [jax.device_get(o) for o in outs]
         stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
         stacked = jax.tree.map(lambda x: x[:t_total], stacked)
         return states, stacked, scale

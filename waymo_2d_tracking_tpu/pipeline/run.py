@@ -213,12 +213,17 @@ class SegmentPipeline:
 
         state = init_state(cfg.tracker)
         self.last_state = None   # final track table (cross-camera linking)
-        outputs_host: List = []
         scale = 1.0
         t0 = time.perf_counter()
         # context-managed prefetch: an exception mid-segment (or any early
         # exit) unblocks and joins the worker thread and closes the chunk
         # iterator + its native decoder (VERDICT r2 weak #5)
+        # Dispatch loop stays fully async: chunk outputs are tiny (ids +
+        # boxes, ~KBs/chunk) and are kept on device until the end — a
+        # device_get inside the loop would BLOCK the host each chunk and
+        # serialize device compute against host fetches (the bench
+        # methodology, applied to the product path).
+        outputs_dev: List = []
         with DevicePrefetcher(
             segment.chunk_iter(chunk, scale_denom=sd),
             depth=cfg.pipeline.prefetch_depth,
@@ -228,12 +233,13 @@ class SegmentPipeline:
                     dets, scale = self._detect_chunk(
                         self.params, dev_chunk, src_hw
                     )
-                    outputs_host.append(jax.device_get(dets))
+                    outputs_dev.append(dets)
                 else:
                     state, outputs, scale = self._chunk_step(
                         self.params, state, dev_chunk, src_hw
                     )
-                    outputs_host.append(jax.device_get(outputs))
+                    outputs_dev.append(outputs)
+        outputs_host = [jax.device_get(o) for o in outputs_dev]
         if not detections_only:
             self.last_state = jax.device_get(state)
         wall = time.perf_counter() - t0

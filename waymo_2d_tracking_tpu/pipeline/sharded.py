@@ -132,7 +132,7 @@ class ShardedSegmentRunner:
                 dev_frames = jax.device_put(frames, batch_sharding)
                 step = self._sharded_step(src_hw)
                 states, outputs = step(self.pipeline.params, states, dev_frames)
-                outputs_host.append(jax.device_get(outputs))
+                outputs_host.append(outputs)   # fetched after the loop
                 ending = [
                     idx for idx, s in enumerate(group)
                     if start < s.num_frames <= start + chunk
@@ -150,6 +150,7 @@ class ShardedSegmentRunner:
 
         final_states = jax.device_get(states)    # (G, ...) stacked table
         # (G, T_pad, ...) per-segment trim + records
+        outputs_host = [jax.device_get(o) for o in outputs_host]
         stacked = jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=1), *outputs_host
         )
@@ -295,7 +296,7 @@ class ShardedMultiCamRunner:
                 dev_frames = jax.device_put(frames, batch_sharding)
                 step = self._sharded_step(src_hw)
                 states, outputs = step(self.pipeline.params, states, dev_frames)
-                outputs_host.append(jax.device_get(outputs))
+                outputs_host.append(outputs)   # fetched after the loop
                 ending = [idx for idx in range(len(contexts))
                           if start < t_lens[idx] <= start + chunk]
                 if ending:
@@ -310,6 +311,7 @@ class ShardedMultiCamRunner:
                     it.close()
 
         # (G, T_pad, cams, ...) stacked over chunks on axis 1
+        outputs_host = [jax.device_get(o) for o in outputs_host]
         stacked = jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=1), *outputs_host
         )
