@@ -142,3 +142,23 @@ def test_run_segment_closes_prefetcher_on_chunk_error(monkeypatch):
         pipe.run_segment(seg)
     time.sleep(0.3)
     assert threading.active_count() <= n_before, "prefetch worker leaked"
+
+
+def test_rolling_fetch_bounds_in_flight_window():
+    """RollingFetch: dispatch stays ahead by at most `depth` chunks (the
+    oldest chunk is fetched when the window fills), and finish() returns
+    every output in order."""
+    import jax.numpy as jnp
+
+    from waymo_2d_tracking_tpu.pipeline.run import RollingFetch
+
+    f = RollingFetch(depth=2)
+    for i in range(7):
+        f.push({"x": jnp.full((2,), i)})
+        assert len(f._dev) <= 2, "in-flight window exceeded depth"
+        # once past the window, the oldest outputs are already on host
+        assert len(f._host) == max(i + 1 - 2, 0)
+    out = f.finish()
+    assert [int(o["x"][0]) for o in out] == list(range(7))
+    assert all(isinstance(o["x"], np.ndarray) for o in out)
+    assert f.finish() == out  # idempotent-ish: no pending work left

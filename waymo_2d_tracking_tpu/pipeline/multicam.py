@@ -101,9 +101,11 @@ class MultiCamPipeline:
         ctx = segments[0].context_name
         t_total = segments[0].num_frames
 
+        from waymo_2d_tracking_tpu.pipeline.run import RollingFetch
+
         states = init_multicam_state(cfg, self.num_cams)
         iters = [s.chunk_iter(chunk, scale_denom=sd) for s in segments]
-        outs: List = []
+        fetcher = RollingFetch(depth=cfg.pipeline.prefetch_depth)
         src_hw = None
         scale = 1.0
         try:
@@ -121,13 +123,12 @@ class MultiCamPipeline:
                 states, outputs, scale = self._chunk_step(
                     self.params, states, jnp.asarray(frames), src_hw
                 )
-                outs.append(outputs)   # fetched once after the loop: keep
-                                       # the dispatch chain fully async
+                fetcher.push(outputs)   # async, bounded in-flight window
         finally:
             for it in iters:
                 it.close()
 
-        outs = [jax.device_get(o) for o in outs]
+        outs = fetcher.finish()
         stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
         stacked = jax.tree.map(lambda x: x[:t_total], stacked)
         final_states = jax.device_get(states)
@@ -165,9 +166,11 @@ class MultiCamPipeline:
         chunk = cfg.pipeline.chunk_frames
         t_total = frames.shape[0]
         src_hw = tuple(frames.shape[2:4])
+        from waymo_2d_tracking_tpu.pipeline.run import RollingFetch
+
         if states is None:
             states = init_multicam_state(cfg, self.num_cams)
-        outs: List = []
+        fetcher = RollingFetch(depth=cfg.pipeline.prefetch_depth)
         for start in range(0, t_total, chunk):
             block = frames[start : start + chunk]
             if block.shape[0] < chunk:
@@ -178,8 +181,8 @@ class MultiCamPipeline:
             states, outputs, scale = self._chunk_step(
                 self.params, states, jnp.asarray(block), src_hw
             )
-            outs.append(outputs)   # async; one fetch after the loop
-        outs = [jax.device_get(o) for o in outs]
+            fetcher.push(outputs)   # async, bounded in-flight window
+        outs = fetcher.finish()
         stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
         stacked = jax.tree.map(lambda x: x[:t_total], stacked)
         return states, stacked, scale

@@ -130,6 +130,39 @@ class SegmentFrames:
                 decoder.close()
 
 
+class RollingFetch:
+    """Bounded-window async output collection for chunk-dispatch loops.
+
+    ``push`` keeps dispatch asynchronous but allows at most ``depth`` chunk
+    steps in flight: once the window is full, the OLDEST chunk's outputs
+    are fetched, which blocks until that step finished — re-establishing
+    the backpressure the old per-chunk ``device_get`` provided. Without a
+    bound, a host that decodes faster than the device computes (cheap
+    DCT-scaled decode + heavy TTA step, or pre-decoded frames) would
+    enqueue a whole segment of chunk INPUT buffers into HBM
+    (O(num_chunks) x (chunk, H, W, 3) — gigabytes at multicam shapes)
+    where the loop used to run in O(1) chunk memory.
+
+    ``finish`` fetches the remaining window with ONE ``jax.device_get``
+    (a list is a pytree), overlapping the device->host copies.
+    """
+
+    def __init__(self, depth: int = 2):
+        self.depth = max(int(depth), 1)
+        self._dev: List = []
+        self._host: List = []
+
+    def push(self, outputs) -> None:
+        self._dev.append(outputs)
+        if len(self._dev) > self.depth:
+            self._host.append(jax.device_get(self._dev.pop(0)))
+
+    def finish(self) -> List:
+        self._host.extend(jax.device_get(self._dev))
+        self._dev = []
+        return self._host
+
+
 class SegmentPipeline:
     """Holds jitted chunk_step; reusable across segments (compile once)."""
 
@@ -218,12 +251,10 @@ class SegmentPipeline:
         # context-managed prefetch: an exception mid-segment (or any early
         # exit) unblocks and joins the worker thread and closes the chunk
         # iterator + its native decoder (VERDICT r2 weak #5)
-        # Dispatch loop stays fully async: chunk outputs are tiny (ids +
-        # boxes, ~KBs/chunk) and are kept on device until the end — a
-        # device_get inside the loop would BLOCK the host each chunk and
-        # serialize device compute against host fetches (the bench
-        # methodology, applied to the product path).
-        outputs_dev: List = []
+        # Async dispatch with a bounded in-flight window (RollingFetch):
+        # the device pipelines up to prefetch_depth chunk steps while the
+        # host neither blocks per chunk nor runs unboundedly ahead.
+        fetcher = RollingFetch(depth=cfg.pipeline.prefetch_depth)
         with DevicePrefetcher(
             segment.chunk_iter(chunk, scale_denom=sd),
             depth=cfg.pipeline.prefetch_depth,
@@ -233,13 +264,13 @@ class SegmentPipeline:
                     dets, scale = self._detect_chunk(
                         self.params, dev_chunk, src_hw
                     )
-                    outputs_dev.append(dets)
+                    fetcher.push(dets)
                 else:
                     state, outputs, scale = self._chunk_step(
                         self.params, state, dev_chunk, src_hw
                     )
-                    outputs_dev.append(outputs)
-        outputs_host = [jax.device_get(o) for o in outputs_dev]
+                    fetcher.push(outputs)
+        outputs_host = fetcher.finish()
         if not detections_only:
             self.last_state = jax.device_get(state)
         wall = time.perf_counter() - t0

@@ -99,7 +99,9 @@ class ShardedSegmentRunner:
             jax.tree.map(lambda x: jnp.stack([x] * g), init_state(cfg.tracker)),
             batch_sharding,
         )
-        outputs_host = []
+        from waymo_2d_tracking_tpu.pipeline.run import RollingFetch
+
+        fetcher = RollingFetch(depth=cfg.pipeline.prefetch_depth)
         last_blocks: List = [None] * g
         # Per-segment state snapshots, taken at the chunk where the segment's
         # real frames end: a shorter segment in a lockstep group keeps
@@ -132,7 +134,7 @@ class ShardedSegmentRunner:
                 dev_frames = jax.device_put(frames, batch_sharding)
                 step = self._sharded_step(src_hw)
                 states, outputs = step(self.pipeline.params, states, dev_frames)
-                outputs_host.append(outputs)   # fetched after the loop
+                fetcher.push(outputs)   # async, bounded in-flight window
                 ending = [
                     idx for idx, s in enumerate(group)
                     if start < s.num_frames <= start + chunk
@@ -150,7 +152,7 @@ class ShardedSegmentRunner:
 
         final_states = jax.device_get(states)    # (G, ...) stacked table
         # (G, T_pad, ...) per-segment trim + records
-        outputs_host = [jax.device_get(o) for o in outputs_host]
+        outputs_host = fetcher.finish()
         stacked = jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=1), *outputs_host
         )
@@ -265,8 +267,10 @@ class ShardedMultiCamRunner:
             ),
             batch_sharding,
         )
+        from waymo_2d_tracking_tpu.pipeline.run import RollingFetch
+
         src_hw = None
-        outputs_host = []
+        fetcher = RollingFetch(depth=cfg.pipeline.prefetch_depth)
         last_blocks: List = [None] * g
         end_snapshots: List = [None] * g   # freeze at true end (see run_group)
         try:
@@ -296,7 +300,7 @@ class ShardedMultiCamRunner:
                 dev_frames = jax.device_put(frames, batch_sharding)
                 step = self._sharded_step(src_hw)
                 states, outputs = step(self.pipeline.params, states, dev_frames)
-                outputs_host.append(outputs)   # fetched after the loop
+                fetcher.push(outputs)   # async, bounded in-flight window
                 ending = [idx for idx in range(len(contexts))
                           if start < t_lens[idx] <= start + chunk]
                 if ending:
@@ -311,7 +315,7 @@ class ShardedMultiCamRunner:
                     it.close()
 
         # (G, T_pad, cams, ...) stacked over chunks on axis 1
-        outputs_host = [jax.device_get(o) for o in outputs_host]
+        outputs_host = fetcher.finish()
         stacked = jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=1), *outputs_host
         )
