@@ -22,7 +22,7 @@ def test_presets_exist():
         "config1_tracker_cpu.yaml", "config2_detector_iou.yaml",
         "config3_reid_fused.yaml", "config4_multicam.yaml",
         "config5_full_sweep.yaml", "production.yaml", "fast.yaml",
-        "headline.yaml",
+        "headline.yaml", "train_detector.yaml",
     }
     assert required <= names, required - names
 
@@ -97,3 +97,14 @@ def test_invalid_assignment_rejected():
         TrackerConfig(assignment="greeedy")
     with _pytest.raises(ValueError, match="assignment"):
         dataclasses.replace(TrackerConfig(), assignment="hungarian")
+
+
+def test_train_preset_semantics():
+    """Committed training recipe: EMA + ReID metric loss + input pipeline
+    on, detector shape drop-in compatible with production.yaml."""
+    tr = load_config(os.path.join(CONFIGS_DIR, "train_detector.yaml"))
+    prod = load_config(os.path.join(CONFIGS_DIR, "production.yaml"))
+    assert tr.detector == prod.detector
+    assert tr.train.ema_decay > 0.99
+    assert tr.train.reid_loss_weight > 0 and tr.detector.embed_dim > 0
+    assert tr.train.input_workers > 0 and tr.train.input_prefetch > 0
