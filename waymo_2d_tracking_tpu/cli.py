@@ -116,6 +116,18 @@ def _track_from_detections(cfg, args):
     from waymo_2d_tracking_tpu.types import Detections
 
     rows = subm.read_jsonl(args.from_detections)
+    if cfg.tracker.embed_dim > 0:
+        # detections JSONL carries no appearance embeddings; feeding the
+        # zero vectors into a ReID-enabled tracker makes the appearance
+        # gate reject every match and the output silently collapses to a
+        # handful of records (observed: MOTA 0.94 -> 0.005). Found by
+        # driving the surface — fail fast instead.
+        raise SystemExit(
+            "track --from-detections: detection files have no embeddings, "
+            f"but tracker.embed_dim={cfg.tracker.embed_dim} enables "
+            "appearance association over zero vectors. "
+            "Add --set tracker.embed_dim=0 (IoU-only, config-1 semantics)."
+        )
     # group by (context, camera), frames by timestamp
     by_seg = {}
     for r in rows:
@@ -150,7 +162,10 @@ def _track_from_detections(cfg, args):
         )
         _, outputs = tracker.run(dets)
         all_records.extend(
-            subm.records_from_track_outputs(outputs, ctx, stamps, cam)
+            subm.records_from_track_outputs(
+                outputs, ctx, stamps, cam,
+                interp_max_gap=cfg.pipeline.interp_max_gap,
+            )
         )
     n = subm.write_jsonl(args.out, all_records)
     print(json.dumps({"records": n, "out": args.out}))
@@ -186,6 +201,22 @@ def cmd_submit(args):
         records.extend(subm.read_jsonl(path))
     n = subm.write_waymo_pb(args.out, records)
     print(json.dumps({"objects": n, "out": args.out}))
+
+
+def cmd_interp(args):
+    """Offline gap interpolation over a track JSONL (io_out/postprocess)."""
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+    from waymo_2d_tracking_tpu.io_out.postprocess import (
+        interpolate_gaps_offline,
+    )
+
+    records = subm.read_jsonl(args.input)
+    out = interpolate_gaps_offline(records, max_gap=args.max_gap)
+    n = subm.write_jsonl(args.out, out)
+    print(json.dumps({
+        "records_in": len(records), "records_out": n,
+        "interpolated": n - len(records), "out": args.out,
+    }))
 
 
 def cmd_eval(args):
@@ -441,6 +472,17 @@ def build_parser():
     sp.add_argument("inputs", nargs="+")
     sp.add_argument("--out", default="submission.pb")
     sp.set_defaults(fn=cmd_submit)
+
+    sp = sub.add_parser(
+        "interp",
+        help="fill short per-track gaps in a track JSONL by linear "
+             "interpolation (offline postprocess)",
+    )
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--max-gap", type=int, default=5,
+                    help="largest run of missing frames to fill")
+    sp.set_defaults(fn=cmd_interp)
 
     sp = sub.add_parser("eval", help="MOTA/MOTP vs ground truth")
     sp.add_argument("--pred", required=True)

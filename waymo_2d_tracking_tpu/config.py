@@ -142,7 +142,19 @@ class PipelineConfig:
                                    # 640x960, device resizes the rest.
     tta_flip: bool = False
     tta_scales: Sequence[float] = (1.0,)
+    interp_max_gap: int = 0        # fill per-track output gaps of up to N
+                                   # frames by linear interpolation on the
+                                   # host (io_out/postprocess.py); 0 = off.
+                                   # Repairs short detector misses without
+                                   # touching long occlusion gaps.
     data_axis: str = "data"        # mesh axis name for segment/camera fan-out
+
+    def __post_init__(self):
+        if self.interp_max_gap < 0:
+            raise ValueError(
+                f"pipeline.interp_max_gap must be >= 0, "
+                f"got {self.interp_max_gap!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -204,11 +204,14 @@ def records_from_detections(
 
 def records_from_track_outputs(
     outputs, context_name: str, timestamps: Sequence[int], camera_name: int,
-    scale: float = 1.0,
+    scale: float = 1.0, interp_max_gap: int = 0,
 ) -> List[TrackRecord]:
     """Stacked TrackOutputs (T, S) -> flat TrackRecords (valid slots only).
 
     scale: letterbox scale to map network boxes back to source pixels.
+    interp_max_gap: if > 0, fill per-track gaps of up to that many frames
+      by linear interpolation on the exact `timestamps` grid
+      (io_out/postprocess.py; `pipeline.interp_max_gap`).
     """
     valid = np.asarray(outputs.valid)
     ids = np.asarray(outputs.track_id)
@@ -226,4 +229,8 @@ def records_from_track_outputs(
                     box_xyxy=boxes[t, s], score=scores[t, s],
                 )
             )
+    if interp_max_gap > 0:
+        from waymo_2d_tracking_tpu.io_out.postprocess import interpolate_gaps
+
+        recs = interpolate_gaps(recs, timestamps, interp_max_gap)
     return recs

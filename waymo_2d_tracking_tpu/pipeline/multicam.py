@@ -141,6 +141,7 @@ class MultiCamPipeline:
             records = subm.records_from_track_outputs(
                 cam_out, ctx, seg.timestamps, seg.camera_name,
                 scale=total_scale,
+                interp_max_gap=cfg.pipeline.interp_max_gap,
             )
             path = os.path.join(out_dir, f"{ctx}_{seg.camera_name}.jsonl")
             subm.write_jsonl(path, records)

@@ -296,6 +296,7 @@ class SegmentPipeline:
                 segment.timestamps,
                 segment.camera_name,
                 scale=total_scale,
+                interp_max_gap=self.cfg.pipeline.interp_max_gap,
             )
         stats = {
             "context": segment.context_name,

@@ -162,6 +162,7 @@ class ShardedSegmentRunner:
             records = subm.records_from_track_outputs(
                 seg_out, seg.context_name, seg.timestamps, seg.camera_name,
                 scale=self._scale(seg, cfg),
+                interp_max_gap=cfg.pipeline.interp_max_gap,
             )
             seg_file = os.path.join(
                 out_dir, f"{seg.context_name}_{seg.camera_name}.jsonl"
@@ -329,6 +330,7 @@ class ShardedMultiCamRunner:
                 )
                 records = subm.records_from_track_outputs(
                     cam_out, ctx, seg.timestamps, seg.camera_name, scale=scale,
+                    interp_max_gap=cfg.pipeline.interp_max_gap,
                 )
                 seg_file = os.path.join(
                     out_dir, f"{ctx}_{seg.camera_name}.jsonl"
