@@ -40,6 +40,18 @@ class TrackerConfig:
                                    # 0 disables)
     score_threshold: float = 0.5   # min det score to participate at all
     birth_score_threshold: float = 0.6  # min score to birth a new track
+    byte_low_threshold: float = 0.0  # BYTE-style second association
+                                   # (ByteTrack, Zhang et al. 2022): when > 0,
+                                   # detections with byte_low <= score <
+                                   # score_threshold run an IoU-only second
+                                   # pass against CONFIRMED tracks stage-1
+                                   # left unmatched. Low-score matches sustain
+                                   # a track through partial occlusion but
+                                   # never birth tracks or update appearance
+                                   # (their embeddings are unreliable).
+                                   # 0 disables (default).
+    byte_iou_threshold: float = 0.5  # stricter IoU gate for the low-score
+                                   # pass — low dets are noisy, demand overlap
 
     n_init: int = 3                # consecutive hits to confirm a track
     max_age: int = 3               # misses before confirmed -> lost/dead
@@ -78,6 +90,12 @@ class TrackerConfig:
             raise ValueError(
                 f"tracker.assignment must be 'auction' or 'greedy', "
                 f"got {self.assignment!r}"
+            )
+        if self.byte_low_threshold >= self.score_threshold > 0 or self.byte_low_threshold < 0:
+            raise ValueError(
+                "tracker.byte_low_threshold must be 0 (off) or in "
+                f"[0, score_threshold={self.score_threshold}); "
+                f"got {self.byte_low_threshold!r}"
             )
 
 

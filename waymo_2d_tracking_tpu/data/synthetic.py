@@ -30,6 +30,13 @@ class SyntheticClipConfig:
     false_pos_per_frame: float = 0.5
     occlusion_gap: Tuple[int, int] = (60, 90)   # frames [a, b): objects 0,1 hidden
     embed_noise: float = 0.05
+    # Score-dip window: during frames [a, b) the first ``dip_objects`` objects
+    # are still detected but with a low score drawn from ``dip_score_range``
+    # — the partial-occlusion regime the BYTE second association targets.
+    # (0, 0) disables.
+    dip_window: Tuple[int, int] = (0, 0)
+    dip_objects: int = 2
+    dip_score_range: Tuple[float, float] = (0.15, 0.4)
     seed: int = 0
 
 
@@ -86,7 +93,12 @@ def generate_clip(cfg: SyntheticClipConfig = SyntheticClipConfig()):
             box = gt_boxes[t, obj] + noise
             e = emb_true[obj] + rng.normal(0, cfg.embed_noise, emb_true.shape[1])
             e /= np.linalg.norm(e)
-            rows.append((box, rng.uniform(0.8, 1.0), obj % 3, e))
+            da, db = cfg.dip_window
+            if da <= t < db and obj < cfg.dip_objects:
+                score = rng.uniform(*cfg.dip_score_range)
+            else:
+                score = rng.uniform(0.8, 1.0)
+            rows.append((box, score, obj % 3, e))
         # false positives: small random boxes with low-ish score
         n_fp = rng.poisson(cfg.false_pos_per_frame)
         for _ in range(n_fp):

@@ -69,6 +69,30 @@ def stage1_cost(
     return cost, forbid
 
 
+def byte_cost(
+    state: TrackerState,
+    dets: Detections,
+    det_valid: jnp.ndarray,
+    track_mask: jnp.ndarray,
+    cfg: TrackerConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """IoU-only cost for the BYTE low-score second association.
+
+    Rows are CONFIRMED tracks stage-1 left unmatched; columns are detections
+    with ``byte_low_threshold <= score < score_threshold``. Appearance is
+    deliberately excluded — low-score detections are typically partially
+    occluded, so their embeddings are unreliable (the ByteTrack finding).
+    The IoU gate is ``byte_iou_threshold`` (stricter than stage 1).
+    """
+    track_boxes = boxes_cxcywh_to_xyxy(state.mean[:, :4])
+    iou = pairwise_iou(track_boxes, dets.boxes)          # (S, D)
+    forbid = iou < cfg.byte_iou_threshold
+    forbid = jnp.logical_or(forbid, state.classes[:, None] != dets.classes[None, :])
+    forbid = jnp.logical_or(forbid, jnp.logical_not(track_mask[:, None]))
+    forbid = jnp.logical_or(forbid, jnp.logical_not(det_valid[None, :]))
+    return 1.0 - iou, forbid
+
+
 def stage2_cost(
     state: TrackerState,
     dets: Detections,

@@ -39,6 +39,7 @@ def apply_matches(
     row_to_col: jnp.ndarray,
     recovered: jnp.ndarray,
     cfg: TrackerConfig,
+    embed_update: jnp.ndarray | None = None,
 ) -> TrackerState:
     """Kalman-update matched slots and advance their lifecycle counters.
 
@@ -46,8 +47,15 @@ def apply_matches(
     recovered:  (S,) bool — slot was LOST and re-identified this frame
                 (stage-2); its motion state re-initializes at the detection
                 instead of a Kalman update against a stale prediction.
+    embed_update: optional (S,) bool — slots allowed to EMA/gallery-update
+                their appearance this frame. None means all matched slots;
+                the BYTE pass masks out low-score matches (their embeddings
+                are unreliable).
     """
     matched = row_to_col >= 0
+    emb_ok = matched if embed_update is None else jnp.logical_and(
+        matched, embed_update
+    )
     det_idx = jnp.clip(row_to_col, 0, dets.max_detections - 1)
     meas = boxes_xyxy_to_cxcywh(dets.boxes[det_idx])        # (S, 4)
 
@@ -67,17 +75,17 @@ def apply_matches(
         det_e = dets.embeds[det_idx]
         ema = cfg.embed_ema * state.embed + (1.0 - cfg.embed_ema) * det_e
         norm = jnp.maximum(jnp.linalg.norm(ema, axis=-1, keepdims=True), 1e-8)
-        embed = jnp.where(matched[:, None], ema / norm, state.embed)
+        embed = jnp.where(emb_ok[:, None], ema / norm, state.embed)
         # gallery ring write: matched slots record the raw detection embed
         k = state.gallery.shape[1]
         slot_pos = jnp.mod(state.gallery_count, k)                  # (S,)
         onehot = jax.nn.one_hot(slot_pos, k, dtype=state.gallery.dtype)  # (S, K)
-        write = onehot * matched[:, None]                           # (S, K)
+        write = onehot * emb_ok[:, None]                            # (S, K)
         gallery = (
             state.gallery * (1.0 - write[..., None])
             + write[..., None] * det_e[:, None, :]
         )
-        gallery_count = jnp.where(matched, state.gallery_count + 1,
+        gallery_count = jnp.where(emb_ok, state.gallery_count + 1,
                                   state.gallery_count)
     else:
         embed = state.embed

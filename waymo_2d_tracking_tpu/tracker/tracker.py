@@ -105,6 +105,30 @@ def track_step(
         c1, f1 = cost_mod.stage1_cost(state, dets, det_valid, active, cfg)
         row_to_col, col_to_row = _assign(c1, f1, active, det_valid, cfg)
 
+    embed_update = None
+    if cfg.byte_low_threshold > 0.0:
+        # 2b. BYTE second association (ByteTrack): low-score detections vs
+        # CONFIRMED tracks stage-1 left unmatched, IoU-only. Low matches
+        # sustain the track (Kalman update, lifecycle hit) but do not update
+        # appearance, and — because they stay below birth_score_threshold —
+        # never birth new tracks.
+        det_low = jnp.logical_and(
+            dets.valid,
+            jnp.logical_and(
+                dets.scores >= cfg.byte_low_threshold,
+                dets.scores < cfg.score_threshold,
+            ),
+        )
+        trk_free = jnp.logical_and(
+            state.status == SLOT_CONFIRMED, row_to_col < 0
+        )
+        cb, fb = cost_mod.byte_cost(state, dets, det_low, trk_free, cfg)
+        rtcb, ctrb = _assign(cb, fb, trk_free, det_low, cfg)
+        low_matched = rtcb >= 0
+        row_to_col = jnp.where(low_matched, rtcb, row_to_col)
+        col_to_row = jnp.maximum(col_to_row, ctrb)
+        embed_update = jnp.logical_not(low_matched)
+
     recovered = jnp.zeros((cfg.max_tracks,), dtype=bool)
     if cfg.reid_recovery and cfg.embed_dim > 0:
         # 3. Stage-2: LOST tracks x still-unmatched detections, appearance only.
@@ -117,7 +141,9 @@ def track_step(
         col_to_row = jnp.maximum(col_to_row, ctr2)
 
     # 4. Lifecycle: update matched, age/kill missed, birth leftovers.
-    state = lifecycle.apply_matches(state, dets, row_to_col, recovered, cfg)
+    state = lifecycle.apply_matches(
+        state, dets, row_to_col, recovered, cfg, embed_update=embed_update
+    )
     state = lifecycle.apply_misses(state, row_to_col >= 0, cfg)
     state = lifecycle.apply_births(state, dets, col_to_row < 0, cfg)
     state = state.replace(frame_idx=state.frame_idx + 1)
