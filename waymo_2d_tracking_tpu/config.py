@@ -21,6 +21,11 @@ class KalmanConfig:
     std_weight_measurement: float = 1.0 / 20.0
     # initial velocity uncertainty multiplier
     init_velocity_std: float = 10.0
+    # NSA noise-scale-adaptive update (StrongSORT, Du et al. 2023): scale the
+    # measurement noise by (1 - det_score), so confident detections correct
+    # the state harder and borderline ones barely perturb it. Off by default
+    # (SORT parity).
+    nsa: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,6 +37,13 @@ class TrackerConfig:
     embed_dim: int = 128           # E: ReID embedding dim (0 disables appearance)
 
     iou_threshold: float = 0.3     # min IoU for a valid match (gating)
+    iou_buffer: float = 0.0        # buffered IoU (C-BIoU, Yang et al. 2023):
+                                   # expand both boxes' w/h by (1 + 2*b)
+                                   # before the stage-1 IoU, keeping fast
+                                   # movers matchable when consecutive boxes
+                                   # no longer overlap. The iou_threshold
+                                   # gate applies to the buffered IoU.
+                                   # 0 disables (exact SORT parity).
     appearance_weight: float = 0.0 # lambda: cost = (1-l)*iou_cost + l*cos_cost
     appearance_gate: float = 0.4   # max cosine distance for a valid match
     motion_gate: float = 0.0       # chi-square gate on squared Mahalanobis

@@ -31,6 +31,26 @@ def cosine_distance(track_embeds: jnp.ndarray, det_embeds: jnp.ndarray) -> jnp.n
     return 1.0 - track_embeds @ det_embeds.T
 
 
+def _buffer_boxes(boxes_xyxy: jnp.ndarray, b: float) -> jnp.ndarray:
+    """Expand each xyxy box's width/height by ``b`` on every side (C-BIoU).
+
+    A box of size (w, h) becomes (w*(1+2b), h*(1+2b)) around the same center,
+    so two boxes separated by up to ~2b box-widths still overlap — the cheap
+    way to keep fast movers associable without touching the motion model.
+    """
+    dx = (boxes_xyxy[..., 2] - boxes_xyxy[..., 0]) * b
+    dy = (boxes_xyxy[..., 3] - boxes_xyxy[..., 1]) * b
+    return jnp.stack(
+        [
+            boxes_xyxy[..., 0] - dx,
+            boxes_xyxy[..., 1] - dy,
+            boxes_xyxy[..., 2] + dx,
+            boxes_xyxy[..., 3] + dy,
+        ],
+        axis=-1,
+    )
+
+
 def stage1_cost(
     state: TrackerState,
     dets: Detections,
@@ -48,7 +68,11 @@ def stage1_cost(
     dynamics-implausible matches during fast maneuvers).
     """
     track_boxes = boxes_cxcywh_to_xyxy(state.mean[:, :4])
-    iou = pairwise_iou(track_boxes, dets.boxes)          # (S, D)
+    det_boxes = dets.boxes
+    if cfg.iou_buffer > 0.0:
+        track_boxes = _buffer_boxes(track_boxes, cfg.iou_buffer)
+        det_boxes = _buffer_boxes(det_boxes, cfg.iou_buffer)
+    iou = pairwise_iou(track_boxes, det_boxes)           # (S, D)
     cost = 1.0 - iou
     forbid = iou < cfg.iou_threshold
 

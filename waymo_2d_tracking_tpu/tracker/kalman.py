@@ -86,15 +86,23 @@ def update(
     cov: jnp.ndarray,
     meas: jnp.ndarray,
     cfg: KalmanConfig,
+    score: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched measurement update. meas (..., 4).
 
     H is a pure selector of the first 4 state dims, so the innovation math uses
     slices instead of H-matmuls:
       S = P[:4,:4] + R ;  K = P[:,:4] S^-1 ;  x' = x + K y ;  P' = (I - K H) P.
+
+    With ``cfg.nsa`` and a ``score`` (...,) given, R is scaled by
+    ``1 - score`` (NSA Kalman, StrongSORT): a score-1.0 detection is trusted
+    (almost) exactly, a borderline one barely moves the state. The 1e-3 floor
+    keeps S strictly positive definite at score == 1.
     """
     h_meas = jnp.maximum(meas[..., 3], 1.0)
     r = _measurement_noise_diag(h_meas, cfg)
+    if cfg.nsa and score is not None:
+        r = r * jnp.maximum(1.0 - score, 1e-3)[..., None]
 
     p_xz = cov[..., :, :MEAS_DIM]                      # (..., 8, 4)
     s = cov[..., :MEAS_DIM, :MEAS_DIM] + jnp.eye(MEAS_DIM, dtype=cov.dtype) * r[..., None, :]

@@ -59,7 +59,9 @@ def apply_matches(
     det_idx = jnp.clip(row_to_col, 0, dets.max_detections - 1)
     meas = boxes_xyxy_to_cxcywh(dets.boxes[det_idx])        # (S, 4)
 
-    up_mean, up_cov = kalman.update(state.mean, state.cov, meas, cfg.kalman)
+    up_mean, up_cov = kalman.update(
+        state.mean, state.cov, meas, cfg.kalman, score=dets.scores[det_idx]
+    )
     re_mean, re_cov = kalman.init_track(meas, cfg.kalman)
     new_mean = jnp.where(recovered[:, None], re_mean, up_mean)
     new_cov = jnp.where(recovered[:, None, None], re_cov, up_cov)
