@@ -86,16 +86,76 @@ def test_interp_cli_and_pipeline_knob(detections_file, tmp_path, capsys):
     assert sorted(map(key, offline)) == sorted(map(key, inline))
 
 
-def test_track_from_detections_rejects_reid_config(detections_file, tmp_path):
-    """Detection files carry no embeddings; a ReID-enabled tracker config
-    must fail fast instead of silently gating away every match (observed
-    MOTA 0.94 -> 0.005 with zero-vector embeds)."""
+def test_track_from_detections_rejects_appearance_config(detections_file, tmp_path):
+    """Detection files carry no embeddings; a config that actually USES
+    appearance (weight > 0 or recovery) must fail fast instead of silently
+    gating away every match (observed MOTA 0.94 -> 0.005 with zero-vector
+    embeds)."""
     dets_path, _ = detections_file
-    with pytest.raises(SystemExit, match="embed_dim"):
-        cli.main([
-            "track", "--from-detections", dets_path,
-            "--out", str(tmp_path / "t.jsonl"),
-        ])
+    for override in ("tracker.appearance_weight=0.5", "tracker.reid_recovery=true"):
+        with pytest.raises(SystemExit, match="appearance"):
+            cli.main([
+                "track", "--from-detections", dets_path,
+                "--out", str(tmp_path / "t.jsonl"),
+                "--set", override,
+            ])
+
+
+def test_track_from_detections_default_config_ok(detections_file, tmp_path):
+    """The default config (embed_dim=128 but appearance_weight=0, no
+    recovery) never applies the cosine term, so zero embeds are inert —
+    it must run, and match the explicit embed_dim=0 invocation."""
+    dets_path, _ = detections_file
+    a = str(tmp_path / "default.jsonl")
+    b = str(tmp_path / "iou_only.jsonl")
+    common = ["--set", "tracker.max_detections=32", "tracker.n_init=2"]
+    cli.main(["track", "--from-detections", dets_path, "--out", a] + common)
+    cli.main(["track", "--from-detections", dets_path, "--out", b]
+             + common + ["tracker.embed_dim=0"])
+    key = lambda r: (r.object_id, r.timestamp_micros, r.center_x)
+    assert sorted(map(key, subm.read_jsonl(a))) == sorted(map(key, subm.read_jsonl(b)))
+
+
+def test_track_from_detections_synthesizes_empty_frames(tmp_path):
+    """A frame where the detector emitted ZERO detections must still exist
+    on the tracker's frame grid: the tracker steps it (coasting) and
+    pipeline.interp_max_gap can fill the 1-frame track gap it causes. The
+    grid is inferred from timestamp diffs like the offline `w2t interp`
+    path, so the two stay equivalent on such input."""
+    period = 1000
+    recs = []
+    for t in range(12):
+        if t == 6:
+            continue  # detector came up empty this frame for ALL objects
+        for k in range(3):
+            recs.append(subm.TrackRecord.from_xyxy(
+                "ctx0", period * t, 1, f"det{t}_{k}", 1,
+                np.array([50.0 * k, 50.0, 50.0 * k + 40.0, 90.0]), 0.9))
+    dets_path = str(tmp_path / "dets.jsonl")
+    subm.write_jsonl(dets_path, recs)
+
+    base = str(tmp_path / "base.jsonl")
+    inline = str(tmp_path / "inline.jsonl")
+    common = ["--set", "tracker.max_detections=8", "tracker.embed_dim=0",
+              "tracker.n_init=2"]
+    cli.main(["track", "--from-detections", dets_path, "--out", base] + common)
+    cli.main(["track", "--from-detections", dets_path, "--out", inline]
+             + common + ["pipeline.interp_max_gap=2"])
+    base_recs = subm.read_jsonl(base)
+    inline_recs = subm.read_jsonl(inline)
+    # the empty frame exists on the grid: no track emitted output there...
+    assert period * 6 not in {r.timestamp_micros for r in base_recs}
+    # ...and inline interp synthesized records exactly at that timestamp
+    added = len(inline_recs) - len(base_recs)
+    assert added == 3, (added, len(base_recs))
+    assert {r.timestamp_micros for r in inline_recs} >= {period * 6}
+
+    # offline grid-inferring interp on the base output reproduces inline
+    offline = str(tmp_path / "offline.jsonl")
+    cli.main(["interp", base, "--out", offline, "--max-gap", "2"])
+    key = lambda r: (r.object_id, r.timestamp_micros)
+    assert (sorted(map(key, subm.read_jsonl(offline)))
+            == sorted(map(key, inline_recs)))
 
 
 def test_submit_pb(detections_file, tmp_path):

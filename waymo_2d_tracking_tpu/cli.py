@@ -115,19 +115,27 @@ def _track_from_detections(cfg, args):
     from waymo_2d_tracking_tpu.tracker import Tracker
     from waymo_2d_tracking_tpu.types import Detections
 
-    rows = subm.read_jsonl(args.from_detections)
-    if cfg.tracker.embed_dim > 0:
+    uses_appearance = cfg.tracker.embed_dim > 0 and (
+        cfg.tracker.appearance_weight > 0.0 or cfg.tracker.reid_recovery
+    )
+    if uses_appearance:
         # detections JSONL carries no appearance embeddings; feeding the
-        # zero vectors into a ReID-enabled tracker makes the appearance
+        # zero vectors into a tracker that actually USES appearance
+        # (appearance_weight > 0 or reid_recovery) makes the appearance
         # gate reject every match and the output silently collapses to a
         # handful of records (observed: MOTA 0.94 -> 0.005). Found by
-        # driving the surface — fail fast instead.
+        # driving the surface — fail fast instead. embed_dim > 0 alone is
+        # harmless: with appearance_weight == 0 and no recovery the cosine
+        # term is never applied (tracker/cost.py guards on lam > 0).
         raise SystemExit(
             "track --from-detections: detection files have no embeddings, "
-            f"but tracker.embed_dim={cfg.tracker.embed_dim} enables "
-            "appearance association over zero vectors. "
+            "but the tracker config enables appearance association "
+            f"(embed_dim={cfg.tracker.embed_dim}, appearance_weight="
+            f"{cfg.tracker.appearance_weight}, reid_recovery="
+            f"{cfg.tracker.reid_recovery}) over zero vectors. "
             "Add --set tracker.embed_dim=0 (IoU-only, config-1 semantics)."
         )
+    rows = subm.read_jsonl(args.from_detections)
     # group by (context, camera), frames by timestamp
     by_seg = {}
     for r in rows:
@@ -135,8 +143,14 @@ def _track_from_detections(cfg, args):
     all_records = []
     tracker = Tracker(cfg.tracker)
     d = cfg.tracker.max_detections
+    from waymo_2d_tracking_tpu.io_out.postprocess import infer_frame_grid
+
     for (ctx, cam), rs in sorted(by_seg.items()):
-        stamps = sorted({r.timestamp_micros for r in rs})
+        # Full frame grid, not just timestamps present in the file: a frame
+        # where the detector emitted zero detections must still step the
+        # tracker (aging/coasting) and must be visible to interp_max_gap —
+        # same grid inference as the offline `w2t interp` path.
+        stamps = infer_frame_grid([r.timestamp_micros for r in rs])
         t_idx = {ts: i for i, ts in enumerate(stamps)}
         t = len(stamps)
         boxes = np.zeros((t, d, 4), np.float32)

@@ -82,6 +82,31 @@ def interpolate_gaps(
     return out
 
 
+def infer_frame_grid(timestamps: Sequence[int]) -> List[int]:
+    """Reconstruct a full frame grid from observed timestamps.
+
+    Frame period = smallest positive diff of the sorted unique timestamps
+    (capture jitter is microseconds against a ~100 ms frame period, so the
+    smallest observed diff IS one period; a median over few diffs can land
+    on a 2-period hole). A diff of ~k periods means k-1 frames with no
+    observation, for which evenly spaced timestamps are synthesized.
+    Observed timestamps keep their exact values. Exact whenever at least
+    one observation exists per frame, the overwhelmingly common case.
+    """
+    ts = np.unique(np.asarray(list(timestamps), dtype=np.int64))
+    if len(ts) < 2:
+        return [int(t) for t in ts]
+    diffs = np.diff(ts)  # strictly positive: ts is unique and sorted
+    period = float(diffs.min())
+    grid: List[int] = [int(ts[0])]
+    for prev, cur, d in zip(ts, ts[1:], diffs):
+        k = max(int(round(d / period)), 1)
+        for j in range(1, k):
+            grid.append(int(round(prev + d * j / k)))
+        grid.append(int(cur))
+    return grid
+
+
 def interpolate_gaps_offline(
     records: Sequence[TrackRecord],
     max_gap: int = 0,
@@ -104,27 +129,10 @@ def interpolate_gaps_offline(
         groups[(r.context_name, r.camera_name)].append(r)
     out: List[TrackRecord] = []
     for group in groups.values():
-        ts = np.unique([r.timestamp_micros for r in group])
-        if len(ts) < 2:
+        grid = infer_frame_grid([r.timestamp_micros for r in group])
+        if len(grid) < 2:
             out.extend(group)
             continue
-        diffs = np.diff(ts)
-        # min positive diff: robust to holes dominating the diff list (a
-        # median over few diffs can land on a 2-period hole); capture
-        # jitter is microseconds against a ~100 ms frame period, so the
-        # smallest observed diff IS one period
-        period = float(diffs[diffs > 0].min())
-        if period <= 0:
-            out.extend(group)
-            continue
-        # observed timestamps keep their exact values; holes of ~k periods
-        # get k-1 synthesized in-between timestamps
-        grid: List[int] = [int(ts[0])]
-        for prev, cur, d in zip(ts, ts[1:], diffs):
-            k = max(int(round(d / period)), 1)
-            for j in range(1, k):
-                grid.append(int(round(prev + d * j / k)))
-            grid.append(int(cur))
         out.extend(interpolate_gaps(group, grid, max_gap))
     out.sort(key=lambda r: (r.context_name, r.camera_name,
                             r.timestamp_micros, r.object_id))

@@ -24,6 +24,7 @@ import numpy as np
 from waymo_2d_tracking_tpu.config import Config
 from waymo_2d_tracking_tpu.data.preprocess import letterbox_batch
 from waymo_2d_tracking_tpu.models.detector import DetectorRunner
+from waymo_2d_tracking_tpu.pipeline.run import RollingFetch
 from waymo_2d_tracking_tpu.tracker import init_state, track_step
 from waymo_2d_tracking_tpu.types import TrackerState
 
@@ -101,8 +102,6 @@ class MultiCamPipeline:
         ctx = segments[0].context_name
         t_total = segments[0].num_frames
 
-        from waymo_2d_tracking_tpu.pipeline.run import RollingFetch
-
         states = init_multicam_state(cfg, self.num_cams)
         iters = [s.chunk_iter(chunk, scale_denom=sd) for s in segments]
         fetcher = RollingFetch(depth=cfg.pipeline.prefetch_depth)
@@ -167,8 +166,6 @@ class MultiCamPipeline:
         chunk = cfg.pipeline.chunk_frames
         t_total = frames.shape[0]
         src_hw = tuple(frames.shape[2:4])
-        from waymo_2d_tracking_tpu.pipeline.run import RollingFetch
-
         if states is None:
             states = init_multicam_state(cfg, self.num_cams)
         fetcher = RollingFetch(depth=cfg.pipeline.prefetch_depth)

@@ -37,7 +37,11 @@ except ImportError:  # jax < 0.8
 
 from waymo_2d_tracking_tpu.io_out import submission as subm
 from waymo_2d_tracking_tpu.parallel.sharding import DATA_AXIS
-from waymo_2d_tracking_tpu.pipeline.run import SegmentFrames, SegmentPipeline
+from waymo_2d_tracking_tpu.pipeline.run import (
+    RollingFetch,
+    SegmentFrames,
+    SegmentPipeline,
+)
 from waymo_2d_tracking_tpu.tracker import init_state
 
 
@@ -99,8 +103,6 @@ class ShardedSegmentRunner:
             jax.tree.map(lambda x: jnp.stack([x] * g), init_state(cfg.tracker)),
             batch_sharding,
         )
-        from waymo_2d_tracking_tpu.pipeline.run import RollingFetch
-
         fetcher = RollingFetch(depth=cfg.pipeline.prefetch_depth)
         last_blocks: List = [None] * g
         # Per-segment state snapshots, taken at the chunk where the segment's
@@ -268,8 +270,6 @@ class ShardedMultiCamRunner:
             ),
             batch_sharding,
         )
-        from waymo_2d_tracking_tpu.pipeline.run import RollingFetch
-
         src_hw = None
         fetcher = RollingFetch(depth=cfg.pipeline.prefetch_depth)
         last_blocks: List = [None] * g

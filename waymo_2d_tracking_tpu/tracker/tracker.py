@@ -84,10 +84,12 @@ def track_step(
     )
 
     # 2. Stage-1 association: active tracks x detections (IoU + appearance).
-    # The fused kernel covers the IoU+cosine cost only; Mahalanobis motion
-    # gating (motion_gate > 0) needs the covariance and uses the unfused path
+    # The fused kernel covers the plain IoU+cosine cost only; Mahalanobis
+    # motion gating (motion_gate > 0) needs the covariance, and buffered IoU
+    # (iou_buffer > 0) changes the IoU itself — both use the unfused path
     # (fused_stage1 is default-off anyway — measured slower, DESIGN.md §5.3).
-    if cfg.fused_stage1 and cfg.motion_gate == 0.0 and cfg.assignment == "auction":
+    if (cfg.fused_stage1 and cfg.motion_gate == 0.0 and cfg.iou_buffer == 0.0
+            and cfg.assignment == "auction"):
         from waymo_2d_tracking_tpu.ops.fused_assoc import fused_stage1_assign
 
         lam = cfg.appearance_weight if cfg.embed_dim > 0 else 0.0
