@@ -146,3 +146,60 @@ def test_gallery_recovers_older_appearance():
     before1, after1 = run_with(gallery_size=1)
     # EMA drifted to B: appearance A fails the 0.3 gate -> new id
     assert before1 == {0} and 0 not in after1, (before1, after1)
+
+
+def test_recovery_momentum_keeps_fast_mover_after_occlusion():
+    """A fast mover recovered after occlusion: plain re-init starts at zero
+    velocity, so the very next frames un-overlap the prediction and the
+    track drops out again; recovery_momentum sets velocity from the
+    observed displacement across the gap and the id is emitted every
+    post-recovery frame."""
+    def run_with(momentum):
+        cfg = TrackerConfig(max_tracks=8, max_detections=4, embed_dim=8,
+                            appearance_weight=0.3, appearance_gate=0.4,
+                            n_init=2, max_age=2, reid_recovery=True,
+                            max_lost_age=20, recovery_momentum=momentum)
+        # trackable 10 px/frame before the occlusion, accelerates to
+        # 30 px/frame behind it (boxes 40 wide: a 30 px one-frame
+        # prediction error fails the 0.3 IoU gate)
+        def p(t):
+            return 100.0 + 10.0 * t if t <= 4 else 140.0 + 30.0 * (t - 4)
+        frames = (
+            [[(box(p(t), 100), 0.9, 0, E[0])] for t in range(5)]
+            + [[] for _ in range(5)]                     # occlusion, 5 frames
+            + [[(box(p(t), 100), 0.9, 0, E[0])] for t in range(10, 15)]
+        )
+        _, outs = Tracker(cfg).run(make_dets(frames))
+        return outs
+
+    outs_m = run_with(True)
+    # id 0 emitted on EVERY post-recovery frame: velocity was re-estimated
+    # from the displacement across the gap (~27 px/frame vs true 30)
+    for t in range(10, 15):
+        assert 0 in emitted(outs_m, t), f"id 0 missing at frame {t}"
+
+    outs_p = run_with(False)
+    # both paths recover id 0 AT frame 10; zero-velocity re-init then loses
+    # the accelerated mover on later frames
+    assert 0 in emitted(outs_p, 10)
+    missing = [t for t in range(11, 15) if 0 not in emitted(outs_p, t)]
+    assert missing, "zero-velocity re-init unexpectedly held the fast mover"
+
+
+def test_recovery_momentum_off_is_default_parity():
+    """recovery_momentum=False must be bit-identical to the pre-knob path."""
+    cfg = TrackerConfig(max_tracks=8, max_detections=4, embed_dim=8,
+                        appearance_weight=0.3, appearance_gate=0.4,
+                        n_init=2, max_age=2, reid_recovery=True,
+                        max_lost_age=20)
+    frames = (
+        [[(box(100 + 10 * t, 100), 0.9, 0, E[0])] for t in range(5)]
+        + [[] for _ in range(4)]
+        + [[(box(100 + 10 * t, 100), 0.9, 0, E[0])] for t in range(9, 14)]
+    )
+    _, a = Tracker(cfg).run(make_dets(frames))
+    import dataclasses as _dc
+    _, b = Tracker(_dc.replace(cfg, recovery_momentum=False)).run(
+        make_dets(frames))
+    np.testing.assert_array_equal(np.asarray(a.track_id), np.asarray(b.track_id))
+    np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(b.boxes))

@@ -69,6 +69,12 @@ class TrackerConfig:
     max_age: int = 3               # misses before confirmed -> lost/dead
     max_lost_age: int = 30         # frames a lost track is kept for re-ID recovery
     reid_recovery: bool = False    # stage-2 association vs lost tracks (config 5)
+    recovery_momentum: bool = False  # on re-ID recovery, set the track's
+                                   # velocity from the observed displacement
+                                   # across the occlusion gap (OC-SORT-style
+                                   # observation-centric re-init) instead of
+                                   # zero. Only meaningful with
+                                   # reid_recovery; off = SORT parity.
     embed_ema: float = 0.9         # EMA factor for track embedding updates
     gallery_size: int = 1          # per-track appearance gallery ring buffer
                                    # (K>1 scores stage-2 recovery against the

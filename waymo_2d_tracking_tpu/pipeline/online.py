@@ -1,0 +1,248 @@
+"""Online (streaming) serving surface: one frame set at a time.
+
+``SegmentPipeline`` is the throughput path — it batches ``chunk_frames``
+frames per device dispatch and pipelines chunks, which is right for
+offline / near-line processing but adds up to ``chunk_frames`` frames of
+latency. Deployment on a vehicle or a live stream needs the opposite
+trade: minimum per-frame latency. This module is that path.
+
+Design (TPU-first):
+  - ONE jitted step per frame: letterbox -> detector forward -> track_step,
+    a single host->device dispatch with tiny (S-slot) outputs coming back.
+    The reference's shape for this loop is per-frame host python with a
+    GPU detector call and scipy association per frame (SURVEY.md §3.1);
+    here the whole step including association runs on device.
+  - The tracker state lives on device and is DONATED through the step, so
+    serving steady-state allocates nothing per frame.
+  - ``warmup()`` pays the XLA compile before the first real frame —
+    essential for serving (first compile is tens of seconds on TPU).
+  - Latency is first-class: every step is timed; ``latency_stats()``
+    reports p50/p90/p99/max in milliseconds over a sliding window.
+
+``OnlineTracker`` serves one camera; ``OnlineMultiCamTracker`` serves a
+full camera rig per tick — all cameras share one detector batch (the
+config-4 shared-backbone contract) and per-camera tracker states advance
+under ``vmap``, exactly like ``MultiCamPipeline`` but at T=1.
+"""
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Deque, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waymo_2d_tracking_tpu.config import Config
+from waymo_2d_tracking_tpu.data.preprocess import letterbox_batch
+from waymo_2d_tracking_tpu.io_out import submission as subm
+from waymo_2d_tracking_tpu.models.detector import DetectorRunner
+from waymo_2d_tracking_tpu.pipeline.multicam import init_multicam_state
+from waymo_2d_tracking_tpu.tracker import init_state, track_step
+
+Frame = Union[np.ndarray, bytes]
+
+
+def _decode(frame: Frame) -> np.ndarray:
+    if isinstance(frame, (bytes, bytearray)):
+        from waymo_2d_tracking_tpu.data.preprocess import decode_jpeg_host
+
+        return decode_jpeg_host(bytes(frame))
+    return np.asarray(frame)
+
+
+class _LatencyWindow:
+    """Sliding window of per-step wall times (seconds)."""
+
+    def __init__(self, window: int = 1024):
+        self._samples: Deque[float] = deque(maxlen=window)
+
+    def add(self, seconds: float) -> None:
+        self._samples.append(seconds)
+
+    def stats(self) -> dict:
+        if not self._samples:
+            return {"count": 0}
+        ms = np.asarray(self._samples) * 1e3
+        return {
+            "count": int(ms.size),
+            "mean_ms": round(float(ms.mean()), 3),
+            "p50_ms": round(float(np.percentile(ms, 50)), 3),
+            "p90_ms": round(float(np.percentile(ms, 90)), 3),
+            "p99_ms": round(float(np.percentile(ms, 99)), 3),
+            "max_ms": round(float(ms.max()), 3),
+        }
+
+
+class OnlineTracker:
+    """Single-camera streaming detect+track session.
+
+    >>> sess = OnlineTracker(cfg, params=params)
+    >>> sess.warmup((1280, 1920))            # compile before serving
+    >>> for ts, jpeg in stream:
+    ...     records = sess.step(jpeg, ts)    # List[TrackRecord], this frame
+    """
+
+    def __init__(self, cfg: Config, params=None, rng=None,
+                 context_name: str = "online", camera_name: int = 1,
+                 latency_window: int = 1024):
+        self.cfg = cfg
+        self.context_name = context_name
+        self.camera_name = camera_name
+        self.detector = DetectorRunner(cfg.detector)
+        if params is None:
+            params = self.detector.init_params(
+                rng if rng is not None else jax.random.PRNGKey(0),
+                batch_size=1,
+            )
+        self.params = params
+        self._step = jax.jit(
+            self._step_impl, static_argnames=("src_hw",), donate_argnums=(1,)
+        )
+        self._latency = _LatencyWindow(latency_window)
+        self.reset()
+
+    def reset(self) -> None:
+        """Fresh track table (new stream / scene cut)."""
+        self.state = init_state(self.cfg.tracker)
+        self.frames_seen = 0
+
+    # -- device step ------------------------------------------------------
+    def _step_impl(self, params, state, frame_u8, src_hw):
+        images, scale = letterbox_batch(
+            frame_u8[None], src_hw, self.cfg.detector.image_size
+        )
+        dets = self._detect(params, images)
+        det0 = jax.tree.map(lambda x: x[0], dets)
+        new_state, outputs = track_step(state, det0, self.cfg.tracker)
+        return new_state, outputs, scale
+
+    def _detect(self, params, images):
+        # honor the preset's TTA settings, same dispatch rule as
+        # SegmentPipeline._detect_images (detect/track must agree)
+        p = self.cfg.pipeline
+        if bool(p.tta_flip) or tuple(p.tta_scales) != (1.0,):
+            from waymo_2d_tracking_tpu.pipeline.tta import detect_tta_batch
+
+            return detect_tta_batch(
+                self.detector.module, params, images, self.cfg.detector,
+                scales=tuple(p.tta_scales), flip=p.tta_flip,
+            )
+        return self.detector._detect_impl(params, images)
+
+    # -- serving API ------------------------------------------------------
+    def warmup(self, src_hw: Tuple[int, int]) -> float:
+        """Compile the step for ``src_hw``-sized sources; returns seconds."""
+        t0 = time.perf_counter()
+        dummy = np.zeros(src_hw + (3,), np.uint8)
+        state, outputs, _ = self._step(self.params, self.state, dummy, src_hw)
+        jax.block_until_ready(outputs)
+        self.state = state
+        self.reset()
+        return time.perf_counter() - t0
+
+    def step(self, frame: Frame, timestamp_micros: int) -> List[subm.TrackRecord]:
+        """Process one frame; returns this frame's confirmed track records.
+
+        Timed end-to-end (decode + H2D + device step + D2H), which is the
+        latency a caller actually experiences.
+        """
+        t0 = time.perf_counter()
+        arr = _decode(frame)
+        src_hw = tuple(arr.shape[:2])
+        self.state, outputs, scale = self._step(
+            self.params, self.state, arr, src_hw
+        )
+        outputs = jax.device_get(outputs)
+        self._latency.add(time.perf_counter() - t0)
+        self.frames_seen += 1
+        stacked = jax.tree.map(lambda x: np.asarray(x)[None], outputs)
+        return subm.records_from_track_outputs(
+            stacked, self.context_name, [timestamp_micros],
+            self.camera_name, scale=float(scale),
+        )
+
+    def latency_stats(self) -> dict:
+        return self._latency.stats()
+
+
+class OnlineMultiCamTracker:
+    """Streaming session over a fixed camera rig.
+
+    One ``step`` consumes the rig's simultaneous frames: all cameras go
+    through ONE shared-backbone detector batch; per-camera tracker states
+    advance under ``vmap`` (MultiCamPipeline at T=1).
+    """
+
+    def __init__(self, cfg: Config, camera_names: Sequence[int],
+                 params=None, rng=None, context_name: str = "online",
+                 latency_window: int = 1024):
+        self.cfg = cfg
+        self.camera_names = list(camera_names)
+        self.context_name = context_name
+        self.num_cams = len(self.camera_names)
+        self.detector = DetectorRunner(cfg.detector)
+        if params is None:
+            params = self.detector.init_params(
+                rng if rng is not None else jax.random.PRNGKey(0),
+                batch_size=self.num_cams,
+            )
+        self.params = params
+        self._step = jax.jit(
+            self._step_impl, static_argnames=("src_hw",), donate_argnums=(1,)
+        )
+        self._latency = _LatencyWindow(latency_window)
+        self.reset()
+
+    def reset(self) -> None:
+        self.states = init_multicam_state(self.cfg, self.num_cams)
+        self.frames_seen = 0
+
+    def _step_impl(self, params, states, frames_u8, src_hw):
+        """frames_u8 (num_cams, H, W, 3) u8 -> (states', outputs, scale)."""
+        cfg = self.cfg
+        images, scale = letterbox_batch(
+            frames_u8, src_hw, cfg.detector.image_size
+        )
+        dets = self.detector._detect_impl(params, images)
+        step_cam = jax.vmap(lambda s, d: track_step(s, d, cfg.tracker))
+        new_states, outputs = step_cam(states, dets)
+        return new_states, outputs, scale
+
+    def warmup(self, src_hw: Tuple[int, int]) -> float:
+        t0 = time.perf_counter()
+        dummy = np.zeros((self.num_cams,) + src_hw + (3,), np.uint8)
+        states, outputs, _ = self._step(self.params, self.states, dummy, src_hw)
+        jax.block_until_ready(outputs)
+        self.states = states
+        self.reset()
+        return time.perf_counter() - t0
+
+    def step(self, frames: Sequence[Frame],
+             timestamp_micros: int) -> List[subm.TrackRecord]:
+        """One rig tick: frames[i] belongs to ``camera_names[i]``."""
+        if len(frames) != self.num_cams:
+            raise ValueError(
+                f"expected {self.num_cams} frames, got {len(frames)}"
+            )
+        t0 = time.perf_counter()
+        arrs = np.stack([_decode(f) for f in frames])
+        src_hw = tuple(arrs.shape[1:3])
+        self.states, outputs, scale = self._step(
+            self.params, self.states, arrs, src_hw
+        )
+        outputs = jax.device_get(outputs)
+        self._latency.add(time.perf_counter() - t0)
+        self.frames_seen += 1
+        records: List[subm.TrackRecord] = []
+        for i, cam in enumerate(self.camera_names):
+            per_cam = jax.tree.map(lambda x: np.asarray(x)[i][None], outputs)
+            records.extend(subm.records_from_track_outputs(
+                per_cam, self.context_name, [timestamp_micros], cam,
+                scale=float(scale),
+            ))
+        return records
+
+    def latency_stats(self) -> dict:
+        return self._latency.stats()

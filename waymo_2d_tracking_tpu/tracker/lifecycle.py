@@ -63,6 +63,19 @@ def apply_matches(
         state.mean, state.cov, meas, cfg.kalman, score=dets.scores[det_idx]
     )
     re_mean, re_cov = kalman.init_track(meas, cfg.kalman)
+    if cfg.recovery_momentum:
+        # Observation-centric momentum (OC-SORT-style, arXiv:2203.14360
+        # ORU/OCM idea): a LOST track's motion state is frozen at its last
+        # posterior (track_step skips predict for LOST), so at recovery the
+        # velocity across the occlusion is directly observable:
+        #   v = (recovery_box - last_box) / gap_frames,
+        # gap = time_since_update + 1 (tsu counts the missed frames; the
+        # displacement spans one more interval). Without this the re-init
+        # starts at zero velocity and a fast mover un-overlaps its own
+        # prediction within a frame or two of recovering, re-fragmenting.
+        gap = (state.time_since_update + 1).astype(meas.dtype)
+        vel = (meas - state.mean[..., :4]) / gap[:, None]
+        re_mean = jnp.concatenate([meas, vel], axis=-1)
     new_mean = jnp.where(recovered[:, None], re_mean, up_mean)
     new_cov = jnp.where(recovered[:, None, None], re_cov, up_cov)
 
