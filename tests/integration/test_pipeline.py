@@ -171,3 +171,26 @@ def test_decode_scale_denom_outputs_in_original_pixels(tmp_path):
         # at least some coordinates land beyond the scaled-source extent,
         # proving the decode scale was composed back in
         assert max(xs) > 48.0 or max(ys) > 64.0 or len(records) < 3
+
+
+def test_run_segment_centernet_family(tmp_path):
+    """The centernet head family composes with the full pipeline — chunked
+    run_segment, TTA candidate union, submission serialization — through
+    the shared (boxes, scores, classes) candidate contract."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG,
+        detector=dataclasses.replace(
+            CFG.detector, head_family="centernet", centernet_level=3,
+            fpn_levels=(3, 4, 5),
+        ),
+        pipeline=dataclasses.replace(CFG.pipeline, tta_flip=True),
+    )
+    pipe = SegmentPipeline(cfg, rng=jax.random.PRNGKey(0))
+    records, stats = pipe.run_segment(make_segment(t=6))
+    assert stats["frames"] == 6
+    # random weights: records may be sparse, but serialization must round-trip
+    path = str(tmp_path / "cn.jsonl")
+    subm.write_jsonl(path, records)
+    assert len(subm.read_jsonl(path)) == len(records)

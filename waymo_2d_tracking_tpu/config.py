@@ -133,6 +133,12 @@ class DetectorConfig:
                               # automatically on import)
     fpn_channels: int = 256
     fpn_levels: Tuple[int, ...] = (3, 4, 5, 6, 7)   # P3..P7 strides 8..128
+    head_family: str = "fcos"  # 'fcos' (per-level anchor-free towers +
+                               # NMS, the default) or 'centernet' (single-
+                               # level center heatmap + size/offset; peak
+                               # extraction via 3x3 max-pool —
+                               # models/centernet.py)
+    centernet_level: int = 3   # FPN level feeding the centernet head
     head_depth: int = 4
     head_channels: int = 0    # FCOS tower width; 0 = same as fpn_channels.
                               # The head towers are the single largest FLOP
@@ -159,6 +165,20 @@ class DetectorConfig:
                                          # (roi_align_multilevel) instead of
                                          # P3 only
     dtype: str = "bfloat16"              # compute dtype for conv trunk
+
+    def __post_init__(self):
+        if self.head_family not in ("fcos", "centernet"):
+            raise ValueError(
+                f"detector.head_family must be 'fcos' or 'centernet', "
+                f"got {self.head_family!r}"
+            )
+        if self.head_family == "centernet" and (
+            self.centernet_level not in self.fpn_levels
+        ):
+            raise ValueError(
+                f"detector.centernet_level={self.centernet_level} not in "
+                f"fpn_levels={self.fpn_levels}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

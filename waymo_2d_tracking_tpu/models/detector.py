@@ -77,12 +77,22 @@ class Detector(nn.Module):
         )
         self.fpn = FPN(channels=self.cfg.fpn_channels,
                        levels=tuple(self.cfg.fpn_levels), dtype=dtype)
-        self.heads = FCOSHeads(
-            num_classes=self.cfg.num_classes, depth=self.cfg.head_depth,
-            channels=self.cfg.head_channels or self.cfg.fpn_channels,
-            levels=tuple(self.cfg.fpn_levels),
-            dtype=dtype,
-        )
+        if self.cfg.head_family == "centernet":
+            from waymo_2d_tracking_tpu.models.centernet import CenterNetHeads
+
+            self.heads = CenterNetHeads(
+                num_classes=self.cfg.num_classes, depth=self.cfg.head_depth,
+                channels=self.cfg.head_channels or self.cfg.fpn_channels,
+                level=self.cfg.centernet_level,
+                dtype=dtype,
+            )
+        else:
+            self.heads = FCOSHeads(
+                num_classes=self.cfg.num_classes, depth=self.cfg.head_depth,
+                channels=self.cfg.head_channels or self.cfg.fpn_channels,
+                levels=tuple(self.cfg.fpn_levels),
+                dtype=dtype,
+            )
         if self.cfg.embed_dim > 0:
             self.reid = ReIDHead(
                 embed_dim=self.cfg.embed_dim,
@@ -172,7 +182,17 @@ def gather_candidates_batched(
     head_out values are (N, H, W, ...) tensors. Returns (boxes (N,C,4),
     scores (N,C), classes (N,C)). Exposed separately so TTA (C19) can merge
     candidate sets from several views before one NMS.
+
+    Dispatches on ``cfg.head_family`` — the centernet path produces the
+    same (boxes, scores, classes) contract from heatmap peaks, so NMS,
+    TTA union, ReID pooling and the tracker compose identically.
     """
+    if cfg.head_family == "centernet":
+        from waymo_2d_tracking_tpu.models.centernet import (
+            gather_centernet_candidates_batched,
+        )
+
+        return gather_centernet_candidates_batched(head_out, cfg)
     cand_boxes, cand_scores, cand_classes = [], [], []
     for lvl in cfg.fpn_levels:
         cls_l, ltrb_l, ctr_l = head_out[lvl]
@@ -194,7 +214,7 @@ def gather_candidates(head_out, cfg):
     """Single-image variant of ``gather_candidates_batched`` (TTA path):
     head_out values are per-image (H, W, ...) tensors."""
     b, s, c = gather_candidates_batched(
-        {lvl: tuple(t[None] for t in head_out[lvl]) for lvl in cfg.fpn_levels},
+        {lvl: tuple(t[None] for t in ts) for lvl, ts in head_out.items()},
         cfg,
     )
     return b[0], s[0], c[0]

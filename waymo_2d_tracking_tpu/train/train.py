@@ -101,15 +101,28 @@ class DetectorTrainer:
                 method=Detector.forward_train,
                 mutable=["batch_stats"],
             )
-            loss, metrics = fcos_loss(
-                head_out,
-                batch["gt_boxes"],
-                batch["gt_classes"],
-                batch["gt_valid"],
-                num_classes=self.cfg.detector.num_classes,
-                focal_alpha=self.cfg.train.focal_alpha,
-                focal_gamma=self.cfg.train.focal_gamma,
-            )
+            if self.cfg.detector.head_family == "centernet":
+                from waymo_2d_tracking_tpu.models.centernet import (
+                    centernet_loss,
+                )
+
+                loss, metrics = centernet_loss(
+                    head_out,
+                    batch["gt_boxes"],
+                    batch["gt_classes"],
+                    batch["gt_valid"],
+                    num_classes=self.cfg.detector.num_classes,
+                )
+            else:
+                loss, metrics = fcos_loss(
+                    head_out,
+                    batch["gt_boxes"],
+                    batch["gt_classes"],
+                    batch["gt_valid"],
+                    num_classes=self.cfg.detector.num_classes,
+                    focal_alpha=self.cfg.train.focal_alpha,
+                    focal_gamma=self.cfg.train.focal_gamma,
+                )
             if reid_on:
                 reid_l, n_active = reid_triplet_loss(
                     gt_embeds, batch["gt_track_ids"], batch["gt_valid"],
