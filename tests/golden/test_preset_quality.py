@@ -55,3 +55,12 @@ def test_fast_preset_quality_floor():
     assert m.mota >= 0.88, m.as_dict()
     assert m.idf1 >= 0.80, m.as_dict()
     assert m.num_idsw <= 12, m.as_dict()
+
+
+def test_headline_centernet_preset_quality_floor():
+    """headline_centernet.yaml differs from headline.yaml ONLY in
+    detector.head_family — its tracker settings (and therefore this
+    scripted-stream quality) must be IDENTICAL to the headline's."""
+    m = _run_preset_tracker("headline_centernet.yaml")
+    h = _run_preset_tracker("headline.yaml")
+    assert m.as_dict() == h.as_dict(), (m.as_dict(), h.as_dict())
