@@ -298,3 +298,71 @@ def test_eval_det_cli(detections_file, tmp_path, capsys):
     # synthetic detections are GT + small noise + 5% misses, so AP50 is high
     assert out["AP50"] > 0.8, out
     assert 0.0 < out["mAP"] <= 1.0, out
+
+
+def test_track_online_cli(tmp_path, capsys):
+    """--online: streaming serving path writes the same per-segment files
+    and reports latency percentiles in the stats line."""
+    from waymo_2d_tracking_tpu.data import waymo
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (4, 64, 96, 3), dtype=np.uint8)
+    waymo.materialize_directory_segment(
+        str(tmp_path / "segs"), "segO", frames, [100 * t for t in range(4)]
+    )
+    out_dir = str(tmp_path / "out")
+    cli.main([
+        "track", "--online", "--segments-dir", str(tmp_path / "segs"),
+        "--out-dir", out_dir,
+        "--set", "detector.backbone=resnet18slim", "detector.image_size=[64,96]",
+        "detector.fpn_channels=32", "detector.head_depth=1",
+        "detector.pre_nms_topk=32", "detector.max_detections=8",
+        "detector.embed_dim=0", "detector.dtype=float32",
+        "detector.score_threshold=0.01",
+        "tracker.max_tracks=16", "tracker.max_detections=8",
+        "tracker.embed_dim=0", "tracker.score_threshold=0.0",
+        "tracker.birth_score_threshold=0.0", "tracker.n_init=1",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["frames"] == 4
+    assert stats["latency"]["count"] == 4
+    assert stats["latency"]["p50_ms"] > 0
+    assert os.path.exists(os.path.join(out_dir, "segO_1.jsonl"))
+
+
+def test_track_online_multicam_cli(tmp_path, capsys):
+    """--online --multicam: one rig tick per timestamp through a shared
+    detector batch; per-(context, camera) output files like the chunked
+    multicam driver."""
+    from waymo_2d_tracking_tpu.data import waymo
+
+    rng = np.random.default_rng(0)
+    for cam_id in (1, 2):
+        frames = rng.integers(0, 255, (3, 64, 96, 3), dtype=np.uint8)
+        waymo.materialize_directory_segment(
+            str(tmp_path / "segs"), "segM", frames,
+            [100 * t for t in range(3)], camera_id=cam_id,
+        )
+    out_dir = str(tmp_path / "out")
+    cli.main([
+        "track", "--online", "--multicam",
+        "--segments-dir", str(tmp_path / "segs"), "--out-dir", out_dir,
+        "--set", 'pipeline.cameras=["FRONT","FRONT_LEFT"]',
+        "detector.backbone=resnet18slim", "detector.image_size=[64,96]",
+        "detector.fpn_channels=32", "detector.head_depth=1",
+        "detector.pre_nms_topk=32", "detector.max_detections=8",
+        "detector.embed_dim=0", "detector.dtype=float32",
+        "detector.score_threshold=0.01",
+        "tracker.max_tracks=16", "tracker.max_detections=8",
+        "tracker.embed_dim=0", "tracker.score_threshold=0.0",
+        "tracker.birth_score_threshold=0.0", "tracker.n_init=1",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["frames"] == 3
+    assert stats["cameras"] == [1, 2]
+    assert stats["latency"]["count"] == 3
+    for cam in (1, 2):
+        f = os.path.join(out_dir, f"segM_{cam}.jsonl")
+        assert os.path.exists(f), f
+        for line in open(f):
+            assert json.loads(line)["camera_name"] == cam

@@ -47,6 +47,8 @@ def cmd_track(args):
     cfg = _load_config(args)
     if args.from_detections:
         return _track_from_detections(cfg, args)
+    if args.online:
+        return _track_online(cfg, args)
     import jax
 
     from waymo_2d_tracking_tpu.pipeline.run import SegmentPipeline, run_segments
@@ -104,6 +106,112 @@ def cmd_track(args):
                                  fail_after=args.fail_after_n_segments)
     for s in stats:
         print(json.dumps(s))
+
+
+def _track_online(cfg, args):
+    """Streaming serving path (pipeline/online.py): one frame per device
+    dispatch instead of chunked batches. Same output files as the chunked
+    driver; the per-segment stats line additionally reports the serving
+    latency percentiles a deployment would see."""
+    import os
+
+    import jax
+
+    from waymo_2d_tracking_tpu.data.waymo import iter_segments
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+    from waymo_2d_tracking_tpu.pipeline.online import OnlineTracker
+
+    if args.multicam:
+        return _track_online_multicam(cfg, args)
+    sess = OnlineTracker(cfg, rng=jax.random.PRNGKey(args.seed))
+    if args.params:
+        sess.params = _load_params(args.params)
+    os.makedirs(args.out_dir, exist_ok=True)
+    warmed = None
+    for seg in iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras):
+        sess.reset()
+        sess.context_name = seg.context_name
+        sess.camera_name = seg.camera_name
+        src_hw = seg.source_hw()
+        if warmed != src_hw:
+            sess.warmup(src_hw)
+            warmed = src_hw
+        records = []
+        frames = (seg.jpeg_frames if seg.jpeg_frames is not None
+                  else list(seg.frames))
+        for ts, frame in zip(seg.timestamps, frames):
+            records.extend(sess.step(frame, ts))
+        out_file = os.path.join(
+            args.out_dir, f"{seg.context_name}_{seg.camera_name}.jsonl"
+        )
+        subm.write_jsonl(out_file, records)
+        print(json.dumps({
+            "context": seg.context_name, "camera": seg.camera_name,
+            "frames": seg.num_frames, "records": len(records),
+            "latency": sess.latency_stats(),
+        }))
+
+
+def _track_online_multicam(cfg, args):
+    """Streaming serving over a full camera rig (`--online --multicam`):
+    each tick runs ALL cameras of a context through one shared-backbone
+    detector batch with per-camera tracker states (OnlineMultiCamTracker —
+    MultiCamPipeline's config-4 contract at T=1). Output files match the
+    chunked multicam driver: one jsonl per (context, camera)."""
+    import os
+
+    import jax
+
+    from waymo_2d_tracking_tpu.data.waymo import iter_segments
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+    from waymo_2d_tracking_tpu.pipeline.online import OnlineMultiCamTracker
+
+    num_cams = len(cfg.pipeline.cameras)
+    sess = OnlineMultiCamTracker(
+        cfg, camera_names=list(range(1, num_cams + 1)),
+        rng=jax.random.PRNGKey(args.seed),
+    )
+    if args.params:
+        sess.params = _load_params(args.params)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    by_ctx = {}
+    for seg in iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras):
+        by_ctx.setdefault(seg.context_name, []).append(seg)
+
+    warmed = None
+    for ctx in sorted(by_ctx):
+        segs = sorted(by_ctx[ctx], key=lambda s: s.camera_name)
+        if len(segs) != num_cams:
+            raise ValueError(
+                f"context {ctx} has {len(segs)} cameras, "
+                f"config expects {num_cams} ({cfg.pipeline.cameras})"
+            )
+        sess.reset()
+        sess.context_name = ctx
+        sess.camera_names = [s.camera_name for s in segs]
+        src_hw = segs[0].source_hw()
+        if warmed != src_hw:
+            sess.warmup(src_hw)
+            warmed = src_hw
+        per_cam = [
+            s.jpeg_frames if s.jpeg_frames is not None else list(s.frames)
+            for s in segs
+        ]
+        records = []
+        for t, ts in enumerate(segs[0].timestamps):
+            records.extend(sess.step([fr[t] for fr in per_cam], ts))
+        for s in segs:
+            cam_records = [r for r in records if r.camera_name == s.camera_name]
+            out_file = os.path.join(
+                args.out_dir, f"{ctx}_{s.camera_name}.jsonl"
+            )
+            subm.write_jsonl(out_file, cam_records)
+        print(json.dumps({
+            "context": ctx, "cameras": [s.camera_name for s in segs],
+            "frames": segs[0].num_frames, "records": len(records),
+            "latency": sess.latency_stats(),
+        }))
 
 
 def _track_from_detections(cfg, args):
@@ -472,6 +580,11 @@ def build_parser():
     sp.add_argument("--sharded", action="store_true",
                     help="fan segments across the device mesh (one segment "
                          "per chip via shard_map; C28 inference fan-out)")
+    sp.add_argument("--online", action="store_true",
+                    help="streaming serving path: one frame per device "
+                         "dispatch (pipeline/online.py) — minimum latency "
+                         "instead of chunked throughput; stats report "
+                         "p50/p90/p99 serving latency")
     sp.add_argument("--out", default="tracks.jsonl")
     sp.add_argument("--fail-after-n-segments", type=int, default=None)
     sp.set_defaults(fn=cmd_track)

@@ -133,11 +133,19 @@ class OnlineTracker:
 
     # -- serving API ------------------------------------------------------
     def warmup(self, src_hw: Tuple[int, int]) -> float:
-        """Compile the step for ``src_hw``-sized sources; returns seconds."""
+        """Compile the step for ``src_hw``-sized sources; returns seconds.
+
+        Syncs with a real host transfer, not ``block_until_ready``: on
+        tunneled/remote device backends ``block_until_ready`` can return
+        before the remote compile+execute finishes, which would silently
+        shift the multi-second first-compile cost onto the first ``step()``
+        and poison the serving latency window. ``device_get`` of the (tiny,
+        S-slot) outputs is the only reliable barrier.
+        """
         t0 = time.perf_counter()
         dummy = np.zeros(src_hw + (3,), np.uint8)
         state, outputs, _ = self._step(self.params, self.state, dummy, src_hw)
-        jax.block_until_ready(outputs)
+        jax.device_get(outputs)
         self.state = state
         self.reset()
         return time.perf_counter() - t0
@@ -214,7 +222,8 @@ class OnlineMultiCamTracker:
         t0 = time.perf_counter()
         dummy = np.zeros((self.num_cams,) + src_hw + (3,), np.uint8)
         states, outputs, _ = self._step(self.params, self.states, dummy, src_hw)
-        jax.block_until_ready(outputs)
+        # real host transfer, not block_until_ready — see OnlineTracker.warmup
+        jax.device_get(outputs)
         self.states = states
         self.reset()
         return time.perf_counter() - t0
