@@ -130,9 +130,23 @@ def bench_host_ingestion(num_frames=64, hw=(1280, 1920), repeats=5):
     }
 
 
+def bench_online_latency():
+    """Per-frame serving latency (p50 ms) of `w2t track --online` on the
+    headline preset; vs_baseline is the real-time margin against the 10 Hz
+    Waymo camera period. See pipeline/bench_e2e.run_online_latency_bench."""
+    from waymo_2d_tracking_tpu.pipeline.bench_e2e import (
+        run_online_latency_bench,
+    )
+
+    return run_online_latency_bench()
+
+
 def main():
     if "--host" in sys.argv:
         print(json.dumps(bench_host_ingestion()))
+        return
+    if "--latency" in sys.argv:
+        print(json.dumps(bench_online_latency()))
         return
     if "--fast" in sys.argv:
         print(json.dumps(bench_detect_track(preset="fast")))

@@ -88,3 +88,29 @@ def test_bench_headline_floor_on_tpu():
     payload = json.loads(r.stdout.strip().splitlines()[-1])
     assert payload["metric"] == "detect_track_frames_per_sec_per_chip"
     assert payload["value"] >= 800.0, payload
+
+
+def test_online_latency_bench_contract():
+    """bench.py --latency payload shape (runs in-process on a tiny config)."""
+    from waymo_2d_tracking_tpu.config import (
+        Config,
+        DetectorConfig,
+        TrackerConfig,
+    )
+    from waymo_2d_tracking_tpu.pipeline.bench_e2e import (
+        run_online_latency_bench,
+    )
+
+    cfg = Config(
+        detector=DetectorConfig(
+            backbone="resnet18slim", image_size=(64, 96), fpn_channels=32,
+            head_depth=1, pre_nms_topk=32, max_detections=8, embed_dim=0,
+            dtype="float32", score_threshold=0.01,
+        ),
+        tracker=TrackerConfig(max_tracks=16, max_detections=8, embed_dim=0),
+    )
+    out = run_online_latency_bench(num_frames=4, config=cfg)
+    assert set(out) == {"metric", "value", "unit", "vs_baseline"}
+    assert out["metric"] == "online_serving_latency_p50_ms"
+    assert out["value"] > 0
+    assert out["vs_baseline"] > 0

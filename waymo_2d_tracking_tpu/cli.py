@@ -529,7 +529,7 @@ def cmd_convert(args):
 def cmd_bench(args):
     cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")]
     for flag in ("config1", "config4", "config5", "fast", "production",
-                 "host", "src_full"):
+                 "host", "src_full", "latency"):
         if getattr(args, flag):
             cmd.append("--" + flag.replace("_", "-"))
     os.execv(sys.executable, cmd)
@@ -678,6 +678,10 @@ def build_parser():
                     help="host JPEG-decode ingestion row")
     sp.add_argument("--src-full", dest="src_full", action="store_true",
                     help="include device-side resize from 1280x1920 source")
+    sp.add_argument("--latency", action="store_true",
+                    help="per-frame online serving latency (p50 ms) on the "
+                         "headline preset; vs_baseline = 10Hz real-time "
+                         "margin")
     sp.set_defaults(fn=cmd_bench)
     return p
 

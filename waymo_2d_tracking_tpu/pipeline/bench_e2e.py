@@ -120,6 +120,74 @@ def run_detect_track_bench(
     }
 
 
+def run_online_latency_bench(
+    num_frames: int = 128,
+    config=None,
+    preset: str = "headline",
+    src_hw=None,
+):
+    """Per-frame serving latency of the online path (pipeline/online.py).
+
+    Times ONE OnlineTracker device step per frame — the latency a live
+    deployment (vehicle / stream) sees — and reports the p50 over
+    ``num_frames`` steps (p90/p99/max ride along in the unit string).
+    Frames are staged on device first, same rationale as the throughput
+    bench above: a production host overlaps H2D with compute over PCIe,
+    while this environment's ~21 MB/s tunnel would turn the number into a
+    transfer benchmark. Each step still syncs on a real (small) host
+    transfer, so per-step dispatch latency is included.
+
+    vs_baseline: real-time margin against the 10 Hz Waymo camera period
+    (100 ms/frame) — e.g. p50 5 ms -> 20.0 (20x inside the real-time
+    budget). >= 1.0 means the serving path keeps up with the sensor.
+    """
+    import os
+
+    import jax
+    import numpy as np
+
+    from waymo_2d_tracking_tpu.config import load_config
+    from waymo_2d_tracking_tpu.pipeline.online import OnlineTracker
+
+    cfg = config
+    if cfg is None:
+        cfg = load_config(
+            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "configs", f"{preset}.yaml")
+        )
+    sess = OnlineTracker(cfg, rng=jax.random.PRNGKey(0))
+
+    src_hw = tuple(src_hw or cfg.detector.image_size)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (num_frames,) + src_hw + (3,),
+                          dtype=np.uint8)
+    dev_frames = [jax.device_put(f) for f in frames]
+
+    # warm: compile + first-dispatch costs out of the timed region
+    # (OnlineTracker.warmup syncs via device_get; see its docstring)
+    sess.warmup(src_hw)
+    state = sess.state
+    samples = []
+    for f in dev_frames:
+        t0 = time.perf_counter()
+        state, outputs, _ = sess._step(sess.params, state, f, src_hw)
+        _ = np.asarray(outputs.valid)  # real per-step sync
+        samples.append(time.perf_counter() - t0)
+    ms = np.asarray(samples) * 1e3
+    p50 = float(np.percentile(ms, 50))
+    return {
+        "metric": "online_serving_latency_p50_ms",
+        "value": round(p50, 3),
+        "unit": (
+            f"ms/frame (device step incl. dispatch; n={num_frames}, "
+            f"p90={np.percentile(ms, 90):.3f}, "
+            f"p99={np.percentile(ms, 99):.3f}, max={ms.max():.3f}; "
+            "vs_baseline = 10Hz-camera real-time margin, 100ms/p50)"
+        ),
+        "vs_baseline": round(100.0 / p50, 3),
+    }
+
+
 def run_multicam_bench(
     num_frames: int = 32,
     repeats: int = 5,
