@@ -7,8 +7,25 @@ Pallas kernels run with interpret=True on CPU (each kernel module exposes an
 bench.py / __graft_entry__.py outside pytest.
 """
 import os
+import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+# The axon TPU plugin initializes (and dials its device tunnel) during jax
+# start-up even under JAX_PLATFORMS=cpu; when the tunnel is slow or wedged
+# that silently adds minutes to EVERY jax process — including the CPU
+# subprocesses the bench-contract and multihost tests spawn (measured:
+# `jax.devices()` 2.7 s without the plugin vs >100 s with it during a
+# tunnel stall). CPU tests must never touch the plugin: record the
+# original PYTHONPATH for the chip-gated tests (test_bench_contract
+# _tpu_env restores it), then scrub the plugin from this process and from
+# inherited child environments.
+os.environ.setdefault("W2T_TPU_PYTHONPATH", os.environ.get("PYTHONPATH", ""))
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and ".axon_site" not in p
+)
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

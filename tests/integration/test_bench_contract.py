@@ -48,14 +48,16 @@ def test_bench_config1_regression_floor():
 
 def _tpu_env(repo):
     """Subprocess env targeting the REAL default backend (conftest pins this
-    process to CPU; strip that so the child sees the axon TPU plugin)."""
+    process to CPU and scrubs the axon plugin from PYTHONPATH; restore the
+    original plugin path so the child sees the TPU)."""
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = " ".join(
         f for f in env.get("XLA_FLAGS", "").split()
         if "xla_force_host_platform_device_count" not in f
     )
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    tpu_pp = env.get("W2T_TPU_PYTHONPATH", env.get("PYTHONPATH", ""))
+    env["PYTHONPATH"] = repo + os.pathsep + tpu_pp
     return env
 
 

@@ -1,0 +1,114 @@
+"""`w2t serve` daemon: wire protocol round-trip over an AF_UNIX socket.
+
+Covers: raw-ndarray frames, JPEG frames, stats, reset, graceful close,
+and that the server pre-compiles before binding (socket existence = ready).
+"""
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from waymo_2d_tracking_tpu import cli
+from waymo_2d_tracking_tpu.pipeline.server import TrackingClient
+
+TINY = [
+    "detector.backbone=resnet18slim", "detector.image_size=[64,96]",
+    "detector.fpn_channels=32", "detector.head_depth=1",
+    "detector.pre_nms_topk=32", "detector.max_detections=8",
+    "detector.embed_dim=0", "detector.dtype=float32",
+    "detector.score_threshold=0.01",
+    "tracker.max_tracks=16", "tracker.max_detections=8",
+    "tracker.embed_dim=0", "tracker.score_threshold=0.0",
+    "tracker.birth_score_threshold=0.0", "tracker.n_init=1",
+]
+
+
+def test_serve_roundtrip(tmp_path):
+    import cv2
+
+    sock = str(tmp_path / "w2t.sock")
+    argv = ["serve", "--socket", sock, "--max-requests", "20",
+            "--warmup", "64", "96", "--set"] + TINY
+    th = threading.Thread(target=cli.main, args=(argv,), daemon=True)
+    th.start()
+    # the server warms up (compiles) BEFORE binding; socket file = ready
+    for _ in range(1200):
+        if os.path.exists(sock):
+            break
+        time.sleep(0.1)
+    else:
+        pytest.fail("server socket never appeared (compile hang?)")
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    jpeg = cv2.imencode(".jpg", frame[:, :, ::-1])[1].tobytes()
+
+    with TrackingClient(socket_path=sock) as c:
+        r1 = c.step(frame, timestamp_micros=100)  # raw ndarray path
+        assert r1["ok"] and isinstance(r1["records"], list)
+        assert r1["latency_ms"] > 0
+        for rec in r1["records"]:
+            assert rec["timestamp_micros"] == 100
+
+        r2 = c.step(jpeg, timestamp_micros=200)   # JPEG path
+        assert r2["ok"]
+
+        st = c.stats()
+        assert st["stats"]["count"] == 2
+
+        c.reset(context_name="ctxB")
+        r3 = c.step(frame, timestamp_micros=300)
+        assert r3["ok"]
+        for rec in r3["records"]:
+            assert rec["context_name"] == "ctxB"
+
+        c.close_server()
+    th.join(timeout=60)
+    assert not th.is_alive()
+    assert not os.path.exists(sock)  # unlinked on shutdown
+
+
+def test_serve_rejects_bad_message(tmp_path):
+    """Unknown message types get {"ok": false}, and the server survives."""
+    from waymo_2d_tracking_tpu.config import load_config
+    from waymo_2d_tracking_tpu.pipeline.server import (
+        TrackingServer,
+        recv_response,
+        send_message,
+    )
+    import socket as socketlib
+
+    overrides = {}
+    for kv in TINY:
+        k, v = kv.split("=")
+        sect, name = k.split(".")
+        overrides.setdefault(sect, {})[name] = json.loads(v) \
+            if v[0] in "[-0123456789" else v
+    cfg = load_config(None, overrides)
+    server = TrackingServer(cfg)
+    sock = str(tmp_path / "s.sock")
+    th = threading.Thread(
+        target=server.serve,
+        kwargs=dict(socket_path=sock, max_requests=4), daemon=True,
+    )
+    th.start()
+    for _ in range(600):
+        if os.path.exists(sock):
+            break
+        time.sleep(0.05)
+    conn = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+    conn.connect(sock)
+    send_message(conn, {"type": "bogus"})
+    resp = recv_response(conn)
+    assert resp["ok"] is False and "bogus" in resp["error"]
+    # server is still alive and serving on the same connection
+    send_message(conn, {"type": "stats"})
+    assert recv_response(conn)["ok"] is True
+    send_message(conn, {"type": "close"})
+    assert recv_response(conn)["ok"] is True
+    conn.close()
+    th.join(timeout=30)
+    assert not th.is_alive()

@@ -48,6 +48,12 @@ def cmd_track(args):
     if args.from_detections:
         return _track_from_detections(cfg, args)
     if args.online:
+        if args.sharded:
+            raise SystemExit(
+                "--online is a single-host serving path; it does not compose "
+                "with --sharded (fan streams across processes instead, one "
+                "OnlineTracker per chip)"
+            )
         return _track_online(cfg, args)
     import jax
 
@@ -526,6 +532,34 @@ def cmd_convert(args):
     print(json.dumps({"images": n, "out": args.out_dir}))
 
 
+def cmd_serve(args):
+    """Long-lived serving daemon over one camera stream (pipeline/server.py):
+    owns the compiled OnlineTracker session; clients speak the
+    length-prefixed JSON protocol over AF_UNIX or localhost TCP."""
+    import jax
+
+    from waymo_2d_tracking_tpu.pipeline.server import TrackingServer
+
+    cfg = _load_config(args)
+    params = _load_params(args.params) if args.params else None
+    server = TrackingServer(cfg, params=params,
+                            rng=jax.random.PRNGKey(args.seed),
+                            camera_name=args.camera)
+    if args.warmup:
+        hw = (int(args.warmup[0]), int(args.warmup[1]))
+        server.sess.warmup(hw)
+        server._warmed = hw
+
+    def on_ready(addr):
+        print(json.dumps({"ready": True, "addr": list(addr)
+                          if isinstance(addr, tuple) else addr}), flush=True)
+
+    n = server.serve(socket_path=args.socket, port=args.port,
+                     max_requests=args.max_requests, on_ready=on_ready)
+    print(json.dumps({"requests": n,
+                      "latency": server.sess.latency_stats()}))
+
+
 def cmd_bench(args):
     cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")]
     for flag in ("config1", "config4", "config5", "fast", "production",
@@ -663,6 +697,23 @@ def build_parser():
     sp.add_argument("--segments-dir", required=True)
     sp.add_argument("--out-dir", required=True)
     sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser(
+        "serve",
+        help="serving daemon: compiled online tracker behind a local socket",
+    )
+    common(sp)
+    sp.add_argument("--socket", default=None,
+                    help="AF_UNIX socket path (preferred on-host)")
+    sp.add_argument("--port", type=int, default=None,
+                    help="localhost TCP port (0 = ephemeral)")
+    sp.add_argument("--camera", type=int, default=1)
+    sp.add_argument("--warmup", nargs=2, metavar=("H", "W"), default=None,
+                    help="pre-compile for H W sources before accepting "
+                         "(otherwise the first frame pays the XLA compile)")
+    sp.add_argument("--max-requests", type=int, default=None,
+                    help="exit after N requests (drain/test hook)")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("bench", help="run the benchmark harness")
     sp.add_argument("--config1", action="store_true",

@@ -61,6 +61,9 @@ class _LatencyWindow:
     def add(self, seconds: float) -> None:
         self._samples.append(seconds)
 
+    def last_ms(self) -> float:
+        return self._samples[-1] * 1e3 if self._samples else 0.0
+
     def stats(self) -> dict:
         if not self._samples:
             return {"count": 0}
@@ -173,6 +176,9 @@ class OnlineTracker:
 
     def latency_stats(self) -> dict:
         return self._latency.stats()
+
+    def last_latency_ms(self) -> float:
+        return self._latency.last_ms()
 
 
 class OnlineMultiCamTracker:

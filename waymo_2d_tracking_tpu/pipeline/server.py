@@ -1,0 +1,248 @@
+"""Socket serving daemon over the online tracker (`w2t serve`).
+
+The reference stack is an offline competition pipeline — there is no
+serving story to cite (SURVEY.md §0/§3.1: per-segment batch scripts).
+This module is the deployment-shaped surface the north-star framing asks
+for ("large-scale production deployment and serving"): a long-lived
+process that owns the compiled ``OnlineTracker`` session (pipeline/
+online.py) and serves one camera stream over a local socket, so clients
+pay per-frame serving latency (29.6 ms p50 on the headline preset,
+BASELINE.md) and never the multi-minute XLA compile.
+
+Design constraints, in order:
+  - The device step is inherently serial (one tracker state), so the
+    server is deliberately single-threaded: accept one connection at a
+    time, process frames in arrival order. Horizontal scale = one server
+    process per chip (the same shape as `--sharded` batch fan-out).
+  - Zero dependencies: length-prefixed JSON + raw bytes over AF_UNIX or
+    localhost TCP. No gRPC/protobuf server stack to vendor.
+  - Crash-only: a client disconnect mid-message drops the connection and
+    returns to accept; the tracker state persists across connections
+    unless the client sends an explicit ``reset``.
+
+Wire protocol (all lengths u32 big-endian):
+
+  client -> server, one of:
+    {"type": "frame", "timestamp_micros": int}   + payload (JPEG bytes or
+        raw HxWx3 uint8 given "shape": [H, W, 3] in the header)
+    {"type": "reset", "context_name": str?}      (fresh track table)
+    {"type": "stats"}                            (latency percentiles)
+    {"type": "close"}                            (server replies, exits loop)
+  each message = [len][header JSON][len][payload]; payload may be empty.
+
+  server -> client: [len][body JSON]
+    frame  -> {"ok": true, "records": [TrackRecord dicts], "latency_ms": f}
+    reset  -> {"ok": true}
+    stats  -> {"ok": true, "stats": {...}}
+    errors -> {"ok": false, "error": "..."}
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import socket
+import struct
+from typing import Optional, Tuple
+
+_LEN = struct.Struct(">I")
+MAX_MSG = 64 * 1024 * 1024  # refuse absurd lengths rather than OOM
+
+
+def _recv_exact(conn: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-message")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv_block(conn: socket.socket) -> bytes:
+    (n,) = _LEN.unpack(_recv_exact(conn, 4))
+    if n > MAX_MSG:
+        raise ConnectionError(f"message of {n} bytes exceeds {MAX_MSG}")
+    return _recv_exact(conn, n) if n else b""
+
+
+def _send_block(conn: socket.socket, data: bytes) -> None:
+    conn.sendall(_LEN.pack(len(data)) + data)
+
+
+def send_message(conn: socket.socket, header: dict, payload: bytes = b"") -> None:
+    _send_block(conn, json.dumps(header).encode())
+    _send_block(conn, payload)
+
+
+def recv_response(conn: socket.socket) -> dict:
+    return json.loads(_recv_block(conn).decode())
+
+
+class TrackingServer:
+    """Single-stream serving daemon; see module docstring for protocol."""
+
+    def __init__(self, cfg, params=None, rng=None, camera_name: int = 1):
+        from waymo_2d_tracking_tpu.pipeline.online import OnlineTracker
+
+        self.sess = OnlineTracker(cfg, params=params, rng=rng,
+                                  camera_name=camera_name)
+        self._warmed: Optional[Tuple[int, int]] = None
+        self.requests_served = 0
+
+    # -- request handlers --------------------------------------------------
+    def _handle_frame(self, header: dict, payload: bytes) -> dict:
+        import numpy as np
+
+        ts = int(header["timestamp_micros"])
+        if "shape" in header:  # raw uint8 frame, already decoded
+            frame = np.frombuffer(payload, np.uint8).reshape(header["shape"])
+        else:
+            frame = payload  # JPEG bytes; OnlineTracker decodes
+        if isinstance(frame, np.ndarray):
+            src_hw = tuple(frame.shape[:2])
+        else:
+            from waymo_2d_tracking_tpu.data.preprocess import decode_jpeg_host
+
+            frame = decode_jpeg_host(bytes(frame))
+            src_hw = tuple(frame.shape[:2])
+        if self._warmed != src_hw:
+            self.sess.warmup(src_hw)
+            self._warmed = src_hw
+        records = self.sess.step(frame, ts)
+        return {
+            "ok": True,
+            "records": [dataclasses.asdict(r) for r in records],
+            "latency_ms": round(self.sess.last_latency_ms(), 3),
+        }
+
+    def _handle(self, header: dict, payload: bytes) -> Tuple[dict, bool]:
+        kind = header.get("type")
+        if kind == "frame":
+            return self._handle_frame(header, payload), False
+        if kind == "reset":
+            self.sess.reset()
+            if "context_name" in header:
+                self.sess.context_name = str(header["context_name"])
+            return {"ok": True}, False
+        if kind == "stats":
+            return {"ok": True, "stats": self.sess.latency_stats(),
+                    "requests": self.requests_served}, False
+        if kind == "close":
+            return {"ok": True}, True
+        return {"ok": False, "error": f"unknown message type {kind!r}"}, False
+
+    # -- accept loop ---------------------------------------------------------
+    def serve(self, socket_path: Optional[str] = None,
+              port: Optional[int] = None, max_requests: Optional[int] = None,
+              on_ready=None) -> int:
+        """Blocking accept loop. Returns requests served.
+
+        socket_path: AF_UNIX path (preferred for on-host clients);
+        port: localhost TCP port (0 = ephemeral). Exactly one required.
+        max_requests / the "close" message bound the loop for tests and
+        drain-before-upgrade deployments.
+        """
+        if (socket_path is None) == (port is None):
+            raise ValueError("exactly one of socket_path/port required")
+        if socket_path is not None:
+            srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            srv.bind(socket_path)
+        else:
+            srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            srv.bind(("127.0.0.1", port))
+        srv.listen(1)
+        if on_ready is not None:
+            on_ready(srv.getsockname())
+        closing = False
+        try:
+            while not closing:
+                conn, _ = srv.accept()
+                try:
+                    while True:
+                        try:
+                            header = json.loads(_recv_block(conn).decode())
+                            payload = _recv_block(conn)
+                        except (ConnectionError, json.JSONDecodeError):
+                            break  # client gone/garbled: drop connection
+                        try:
+                            resp, closing = self._handle(header, payload)
+                        except Exception as e:  # serve errors, don't die
+                            resp, closing = {"ok": False, "error": str(e)}, False
+                        self.requests_served += 1
+                        _send_block(conn, json.dumps(resp).encode())
+                        if closing or (max_requests is not None
+                                       and self.requests_served >= max_requests):
+                            closing = True
+                            break
+                finally:
+                    conn.close()
+        finally:
+            srv.close()
+            if socket_path is not None:
+                import os
+
+                try:
+                    os.unlink(socket_path)
+                except OSError:
+                    pass
+        return self.requests_served
+
+
+class TrackingClient:
+    """Blocking client for TrackingServer (tests, sidecar processes).
+
+    >>> with TrackingClient(socket_path="/tmp/w2t.sock") as c:
+    ...     recs = c.step(jpeg_bytes, timestamp_micros=123)
+    """
+
+    def __init__(self, socket_path: Optional[str] = None,
+                 port: Optional[int] = None):
+        if (socket_path is None) == (port is None):
+            raise ValueError("exactly one of socket_path/port required")
+        if socket_path is not None:
+            self._conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._conn.connect(socket_path)
+        else:
+            self._conn = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self._conn.connect(("127.0.0.1", port))
+
+    def _roundtrip(self, header: dict, payload: bytes = b"") -> dict:
+        send_message(self._conn, header, payload)
+        resp = recv_response(self._conn)
+        if not resp.get("ok"):
+            raise RuntimeError(f"server error: {resp.get('error')}")
+        return resp
+
+    def step(self, frame, timestamp_micros: int) -> dict:
+        """frame: JPEG bytes, or an HxWx3 uint8 ndarray (sent raw)."""
+        import numpy as np
+
+        if isinstance(frame, np.ndarray):
+            header = {"type": "frame", "timestamp_micros": timestamp_micros,
+                      "shape": list(frame.shape)}
+            payload = np.ascontiguousarray(frame, np.uint8).tobytes()
+        else:
+            header = {"type": "frame", "timestamp_micros": timestamp_micros}
+            payload = bytes(frame)
+        return self._roundtrip(header, payload)
+
+    def reset(self, context_name: Optional[str] = None) -> None:
+        header = {"type": "reset"}
+        if context_name is not None:
+            header["context_name"] = context_name
+        self._roundtrip(header)
+
+    def stats(self) -> dict:
+        return self._roundtrip({"type": "stats"})
+
+    def close_server(self) -> None:
+        self._roundtrip({"type": "close"})
+
+    def close(self) -> None:
+        self._conn.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
