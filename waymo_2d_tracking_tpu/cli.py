@@ -540,6 +540,8 @@ def cmd_serve(args):
 
     from waymo_2d_tracking_tpu.pipeline.server import TrackingServer
 
+    if (args.socket is None) == (args.port is None):
+        raise SystemExit("serve: pass exactly one of --socket PATH / --port N")
     cfg = _load_config(args)
     params = _load_params(args.params) if args.params else None
     server = TrackingServer(cfg, params=params,

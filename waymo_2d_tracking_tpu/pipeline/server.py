@@ -169,7 +169,10 @@ class TrackingServer:
                         except Exception as e:  # serve errors, don't die
                             resp, closing = {"ok": False, "error": str(e)}, False
                         self.requests_served += 1
-                        _send_block(conn, json.dumps(resp).encode())
+                        try:
+                            _send_block(conn, json.dumps(resp).encode())
+                        except OSError:
+                            break  # client vanished mid-reply: drop, re-accept
                         if closing or (max_requests is not None
                                        and self.requests_served >= max_requests):
                             closing = True
