@@ -112,3 +112,43 @@ def test_serve_rejects_bad_message(tmp_path):
     conn.close()
     th.join(timeout=30)
     assert not th.is_alive()
+
+
+def test_serve_multicam_roundtrip(tmp_path):
+    """--multicam daemon: one rig tick (raw and JPEG encodings) per message."""
+    import cv2
+
+    sock = str(tmp_path / "mc.sock")
+    argv = ["serve", "--socket", sock, "--multicam", "--max-requests", "20",
+            "--warmup", "64", "96",
+            "--set", 'pipeline.cameras=["FRONT","FRONT_LEFT"]'] + TINY
+    th = threading.Thread(target=cli.main, args=(argv,), daemon=True)
+    th.start()
+    for _ in range(1200):
+        if os.path.exists(sock):
+            break
+        time.sleep(0.1)
+    else:
+        pytest.fail("multicam server socket never appeared")
+
+    rng = np.random.default_rng(1)
+    rig = [rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+           for _ in range(2)]
+    jpegs = [cv2.imencode(".jpg", f[:, :, ::-1])[1].tobytes() for f in rig]
+
+    with TrackingClient(socket_path=sock) as c:
+        r1 = c.step(rig, timestamp_micros=100)      # raw [N,H,W,3]
+        assert r1["ok"] and isinstance(r1["records"], list)
+        cams = {rec["camera_name"] for rec in r1["records"]}
+        assert cams <= {1, 2}
+
+        r2 = c.step(jpegs, timestamp_micros=200)    # jpeg_lens encoding
+        assert r2["ok"]
+
+        # wrong rig size is an error, server survives
+        with pytest.raises(RuntimeError, match="cameras"):
+            c.step(rig[:1], timestamp_micros=300)
+        assert c.stats()["ok"]
+        c.close_server()
+    th.join(timeout=60)
+    assert not th.is_alive()

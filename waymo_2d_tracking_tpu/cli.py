@@ -546,7 +546,8 @@ def cmd_serve(args):
     params = _load_params(args.params) if args.params else None
     server = TrackingServer(cfg, params=params,
                             rng=jax.random.PRNGKey(args.seed),
-                            camera_name=args.camera)
+                            camera_name=args.camera,
+                            multicam=args.multicam)
     if args.warmup:
         hw = (int(args.warmup[0]), int(args.warmup[1]))
         server.sess.warmup(hw)
@@ -710,6 +711,10 @@ def build_parser():
     sp.add_argument("--port", type=int, default=None,
                     help="localhost TCP port (0 = ephemeral)")
     sp.add_argument("--camera", type=int, default=1)
+    sp.add_argument("--multicam", action="store_true",
+                    help="serve a full camera rig per frame message "
+                         "(len(pipeline.cameras) frames through one "
+                         "shared-backbone batch)")
     sp.add_argument("--warmup", nargs=2, metavar=("H", "W"), default=None,
                     help="pre-compile for H W sources before accepting "
                          "(otherwise the first frame pays the XLA compile)")

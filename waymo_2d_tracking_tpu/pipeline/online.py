@@ -261,3 +261,6 @@ class OnlineMultiCamTracker:
 
     def latency_stats(self) -> dict:
         return self._latency.stats()
+
+    def last_latency_ms(self) -> float:
+        return self._latency.last_ms()

@@ -24,7 +24,9 @@ Wire protocol (all lengths u32 big-endian):
 
   client -> server, one of:
     {"type": "frame", "timestamp_micros": int}   + payload (JPEG bytes or
-        raw HxWx3 uint8 given "shape": [H, W, 3] in the header)
+        raw HxWx3 uint8 given "shape": [H, W, 3] in the header; against a
+        multicam server: "shape": [N, H, W, 3] raw, or "jpeg_lens":
+        [l1..lN] with N concatenated JPEGs)
     {"type": "reset", "context_name": str?}      (fresh track table)
     {"type": "stats"}                            (latency percentiles)
     {"type": "close"}                            (server replies, exits loop)
@@ -79,36 +81,68 @@ def recv_response(conn: socket.socket) -> dict:
 
 
 class TrackingServer:
-    """Single-stream serving daemon; see module docstring for protocol."""
+    """Single-stream serving daemon; see module docstring for protocol.
 
-    def __init__(self, cfg, params=None, rng=None, camera_name: int = 1):
-        from waymo_2d_tracking_tpu.pipeline.online import OnlineTracker
+    multicam=True serves a full camera rig per frame message
+    (OnlineMultiCamTracker, one shared-backbone batch per tick): the
+    header carries ``"shape": [N, H, W, 3]`` for raw payloads or
+    ``"jpeg_lens": [l1..lN]`` for N concatenated JPEGs, N =
+    ``len(cfg.pipeline.cameras)``.
+    """
 
-        self.sess = OnlineTracker(cfg, params=params, rng=rng,
-                                  camera_name=camera_name)
+    def __init__(self, cfg, params=None, rng=None, camera_name: int = 1,
+                 multicam: bool = False):
+        from waymo_2d_tracking_tpu.pipeline.online import (
+            OnlineMultiCamTracker,
+            OnlineTracker,
+        )
+
+        self.multicam = bool(multicam)
+        if self.multicam:
+            num_cams = len(cfg.pipeline.cameras)
+            self.sess = OnlineMultiCamTracker(
+                cfg, camera_names=list(range(1, num_cams + 1)),
+                params=params, rng=rng,
+            )
+        else:
+            self.sess = OnlineTracker(cfg, params=params, rng=rng,
+                                      camera_name=camera_name)
         self._warmed: Optional[Tuple[int, int]] = None
         self.requests_served = 0
 
     # -- request handlers --------------------------------------------------
-    def _handle_frame(self, header: dict, payload: bytes) -> dict:
+    def _decode_frames(self, header: dict, payload: bytes):
+        """Header+payload -> decoded uint8 frame (single) or list (rig)."""
         import numpy as np
 
-        ts = int(header["timestamp_micros"])
-        if "shape" in header:  # raw uint8 frame, already decoded
-            frame = np.frombuffer(payload, np.uint8).reshape(header["shape"])
-        else:
-            frame = payload  # JPEG bytes; OnlineTracker decodes
-        if isinstance(frame, np.ndarray):
-            src_hw = tuple(frame.shape[:2])
-        else:
-            from waymo_2d_tracking_tpu.data.preprocess import decode_jpeg_host
+        from waymo_2d_tracking_tpu.data.preprocess import decode_jpeg_host
 
-            frame = decode_jpeg_host(bytes(frame))
-            src_hw = tuple(frame.shape[:2])
+        if "shape" in header:  # raw uint8, already decoded by the client
+            arr = np.frombuffer(payload, np.uint8).reshape(header["shape"])
+            return list(arr) if self.multicam else arr
+        if "jpeg_lens" in header:  # N concatenated JPEGs (rig)
+            frames, off = [], 0
+            for n in header["jpeg_lens"]:
+                frames.append(decode_jpeg_host(payload[off:off + int(n)]))
+                off += int(n)
+            return frames
+        return decode_jpeg_host(bytes(payload))  # single JPEG
+
+    def _handle_frame(self, header: dict, payload: bytes) -> dict:
+        frames = self._decode_frames(header, payload)
+        if self.multicam:
+            if len(frames) != self.sess.num_cams:
+                raise ValueError(
+                    f"rig has {self.sess.num_cams} cameras, "
+                    f"got {len(frames)} frames"
+                )
+            src_hw = tuple(frames[0].shape[:2])
+        else:
+            src_hw = tuple(frames.shape[:2])
         if self._warmed != src_hw:
             self.sess.warmup(src_hw)
             self._warmed = src_hw
-        records = self.sess.step(frame, ts)
+        records = self.sess.step(frames, int(header["timestamp_micros"]))
         return {
             "ok": True,
             "records": [dataclasses.asdict(r) for r in records],
@@ -217,10 +251,26 @@ class TrackingClient:
         return resp
 
     def step(self, frame, timestamp_micros: int) -> dict:
-        """frame: JPEG bytes, or an HxWx3 uint8 ndarray (sent raw)."""
+        """frame: JPEG bytes or an HxWx3 uint8 ndarray (sent raw); against a
+        multicam server, a list of N such frames (the rig's one tick)."""
         import numpy as np
 
-        if isinstance(frame, np.ndarray):
+        if isinstance(frame, (list, tuple)):  # camera rig tick
+            if all(isinstance(f, np.ndarray) for f in frame):
+                arr = np.stack(
+                    [np.ascontiguousarray(f, np.uint8) for f in frame]
+                )
+                header = {"type": "frame",
+                          "timestamp_micros": timestamp_micros,
+                          "shape": list(arr.shape)}
+                payload = arr.tobytes()
+            else:
+                blobs = [bytes(f) for f in frame]
+                header = {"type": "frame",
+                          "timestamp_micros": timestamp_micros,
+                          "jpeg_lens": [len(b) for b in blobs]}
+                payload = b"".join(blobs)
+        elif isinstance(frame, np.ndarray):
             header = {"type": "frame", "timestamp_micros": timestamp_micros,
                       "shape": list(frame.shape)}
             payload = np.ascontiguousarray(frame, np.uint8).tobytes()
