@@ -302,14 +302,17 @@ def test_eval_det_cli(detections_file, tmp_path, capsys):
 
 def test_track_online_cli(tmp_path, capsys):
     """--online: streaming serving path writes the same per-segment files
-    and reports latency percentiles in the stats line."""
+    and reports PER-SEGMENT latency percentiles in the stats line (the
+    window resets between segments; a cumulative count was review finding
+    r3-serve #5)."""
     from waymo_2d_tracking_tpu.data import waymo
 
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 255, (4, 64, 96, 3), dtype=np.uint8)
-    waymo.materialize_directory_segment(
-        str(tmp_path / "segs"), "segO", frames, [100 * t for t in range(4)]
-    )
+    for name in ("segO1", "segO2"):
+        frames = rng.integers(0, 255, (4, 64, 96, 3), dtype=np.uint8)
+        waymo.materialize_directory_segment(
+            str(tmp_path / "segs"), name, frames, [100 * t for t in range(4)]
+        )
     out_dir = str(tmp_path / "out")
     cli.main([
         "track", "--online", "--segments-dir", str(tmp_path / "segs"),
@@ -323,11 +326,15 @@ def test_track_online_cli(tmp_path, capsys):
         "tracker.embed_dim=0", "tracker.score_threshold=0.0",
         "tracker.birth_score_threshold=0.0", "tracker.n_init=1",
     ])
-    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert stats["frames"] == 4
-    assert stats["latency"]["count"] == 4
-    assert stats["latency"]["p50_ms"] > 0
-    assert os.path.exists(os.path.join(out_dir, "segO_1.jsonl"))
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    for line in lines:
+        stats = json.loads(line)
+        assert stats["frames"] == 4
+        assert stats["latency"]["count"] == 4  # per-segment, not cumulative
+        assert stats["latency"]["p50_ms"] > 0
+    for name in ("segO1", "segO2"):
+        assert os.path.exists(os.path.join(out_dir, f"{name}_1.jsonl"))
 
 
 def test_track_online_multicam_cli(tmp_path, capsys):

@@ -1,7 +1,8 @@
 """`w2t serve` daemon: wire protocol round-trip over an AF_UNIX socket.
 
 Covers: raw-ndarray frames, JPEG frames, stats, reset, graceful close,
-and that the server pre-compiles before binding (socket existence = ready).
+and that with --warmup the server pre-compiles before binding (socket
+existence = ready; without --warmup the first frame pays the compile).
 """
 import json
 import os
@@ -99,6 +100,20 @@ def test_serve_rejects_bad_message(tmp_path):
         if os.path.exists(sock):
             break
         time.sleep(0.05)
+    from waymo_2d_tracking_tpu.pipeline.server import _LEN
+
+    # a header that is not valid UTF-8 must drop the CONNECTION, not the
+    # daemon (review finding r3-serve #1: UnicodeDecodeError escaped serve())
+    conn = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+    conn.connect(sock)
+    conn.sendall(_LEN.pack(2) + b"\xff\xfe" + _LEN.pack(0))
+    try:
+        data = conn.recv(4)
+    except ConnectionResetError:
+        data = b""  # RST: server closed with our payload block unread
+    assert data == b""  # server dropped this connection
+    conn.close()
+
     conn = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
     conn.connect(sock)
     send_message(conn, {"type": "bogus"})

@@ -125,6 +125,7 @@ def _track_online(cfg, args):
 
     from waymo_2d_tracking_tpu.data.waymo import iter_segments
     from waymo_2d_tracking_tpu.io_out import submission as subm
+    from waymo_2d_tracking_tpu.io_out.postprocess import interpolate_gaps
     from waymo_2d_tracking_tpu.pipeline.online import OnlineTracker
 
     if args.multicam:
@@ -135,7 +136,9 @@ def _track_online(cfg, args):
     os.makedirs(args.out_dir, exist_ok=True)
     warmed = None
     for seg in iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras):
-        sess.reset()
+        # clear_latency: the stats line below reports THIS segment's
+        # serving percentiles, not a cumulative all-segments window
+        sess.reset(clear_latency=True)
         sess.context_name = seg.context_name
         sess.camera_name = seg.camera_name
         src_hw = seg.source_hw()
@@ -147,6 +150,11 @@ def _track_online(cfg, args):
                   else list(seg.frames))
         for ts, frame in zip(seg.timestamps, frames):
             records.extend(sess.step(frame, ts))
+        # same output contract as the chunked drivers: gap interpolation
+        # (pipeline.interp_max_gap) applies to online output too
+        records = interpolate_gaps(
+            records, list(seg.timestamps), cfg.pipeline.interp_max_gap
+        )
         out_file = os.path.join(
             args.out_dir, f"{seg.context_name}_{seg.camera_name}.jsonl"
         )
@@ -170,6 +178,7 @@ def _track_online_multicam(cfg, args):
 
     from waymo_2d_tracking_tpu.data.waymo import iter_segments
     from waymo_2d_tracking_tpu.io_out import submission as subm
+    from waymo_2d_tracking_tpu.io_out.postprocess import interpolate_gaps
     from waymo_2d_tracking_tpu.pipeline.online import OnlineMultiCamTracker
 
     num_cams = len(cfg.pipeline.cameras)
@@ -193,7 +202,19 @@ def _track_online_multicam(cfg, args):
                 f"context {ctx} has {len(segs)} cameras, "
                 f"config expects {num_cams} ({cfg.pipeline.cameras})"
             )
-        sess.reset()
+        # fail fast on misaligned cameras (same invariant as the chunked
+        # multicam driver): real tfrecords can drop per-camera frames, and
+        # indexing every camera by segs[0]'s timeline would silently pair
+        # camera i's frame t with camera j's frame t+1
+        ts0 = tuple(int(t) for t in segs[0].timestamps)
+        for s in segs[1:]:
+            if tuple(int(t) for t in s.timestamps) != ts0:
+                raise SystemExit(
+                    f"multicam context {ctx} needs aligned timestamps "
+                    f"across cameras (camera {s.camera_name} differs from "
+                    f"camera {segs[0].camera_name})"
+                )
+        sess.reset(clear_latency=True)
         sess.context_name = ctx
         sess.camera_names = [s.camera_name for s in segs]
         src_hw = segs[0].source_hw()
@@ -207,6 +228,9 @@ def _track_online_multicam(cfg, args):
         records = []
         for t, ts in enumerate(segs[0].timestamps):
             records.extend(sess.step([fr[t] for fr in per_cam], ts))
+        records = interpolate_gaps(
+            records, list(ts0), cfg.pipeline.interp_max_gap
+        )
         for s in segs:
             cam_records = [r for r in records if r.camera_name == s.camera_name]
             out_file = os.path.join(
@@ -549,9 +573,7 @@ def cmd_serve(args):
                             camera_name=args.camera,
                             multicam=args.multicam)
     if args.warmup:
-        hw = (int(args.warmup[0]), int(args.warmup[1]))
-        server.sess.warmup(hw)
-        server._warmed = hw
+        server.warmup((int(args.warmup[0]), int(args.warmup[1])))
 
     def on_ready(addr):
         print(json.dumps({"ready": True, "addr": list(addr)

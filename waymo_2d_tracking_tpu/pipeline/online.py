@@ -106,10 +106,18 @@ class OnlineTracker:
         self._latency = _LatencyWindow(latency_window)
         self.reset()
 
-    def reset(self) -> None:
-        """Fresh track table (new stream / scene cut)."""
+    def reset(self, clear_latency: bool = False) -> None:
+        """Fresh track table (new stream / scene cut).
+
+        clear_latency also empties the latency window — pass True when the
+        caller reports per-stream percentiles (e.g. the CLI's per-segment
+        stats line); the default keeps a whole-session window, which is
+        what a long-lived serving daemon wants.
+        """
         self.state = init_state(self.cfg.tracker)
         self.frames_seen = 0
+        if clear_latency:
+            self._latency = _LatencyWindow(self._latency._samples.maxlen)
 
     # -- device step ------------------------------------------------------
     def _step_impl(self, params, state, frame_u8, src_hw):
@@ -209,9 +217,12 @@ class OnlineMultiCamTracker:
         self._latency = _LatencyWindow(latency_window)
         self.reset()
 
-    def reset(self) -> None:
+    def reset(self, clear_latency: bool = False) -> None:
+        # see OnlineTracker.reset for clear_latency semantics
         self.states = init_multicam_state(self.cfg, self.num_cams)
         self.frames_seen = 0
+        if clear_latency:
+            self._latency = _LatencyWindow(self._latency._samples.maxlen)
 
     def _step_impl(self, params, states, frames_u8, src_hw):
         """frames_u8 (num_cams, H, W, 3) u8 -> (states', outputs, scale)."""

@@ -110,6 +110,14 @@ class TrackingServer:
         self._warmed: Optional[Tuple[int, int]] = None
         self.requests_served = 0
 
+    def warmup(self, src_hw) -> float:
+        """Compile the serving step for (H, W) sources; returns seconds.
+        Owns the warmed-shape bookkeeping (callers must not set _warmed)."""
+        src_hw = (int(src_hw[0]), int(src_hw[1]))
+        secs = self.sess.warmup(src_hw)
+        self._warmed = src_hw
+        return secs
+
     # -- request handlers --------------------------------------------------
     def _decode_frames(self, header: dict, payload: bytes):
         """Header+payload -> decoded uint8 frame (single) or list (rig)."""
@@ -130,18 +138,30 @@ class TrackingServer:
 
     def _handle_frame(self, header: dict, payload: bytes) -> dict:
         frames = self._decode_frames(header, payload)
+        # validate BEFORE warmup: a wrong-rank 'shape' header must not
+        # trigger a garbage-shape XLA compile (minutes on a real backend)
+        # while the single-threaded server blocks for every other client
         if self.multicam:
             if len(frames) != self.sess.num_cams:
                 raise ValueError(
                     f"rig has {self.sess.num_cams} cameras, "
                     f"got {len(frames)} frames"
                 )
+            bad = [tuple(f.shape) for f in frames
+                   if f.ndim != 3 or f.shape[-1] != 3]
+            if bad:
+                raise ValueError(f"rig frames must be HxWx3 uint8, got {bad}")
             src_hw = tuple(frames[0].shape[:2])
         else:
+            if frames.ndim != 3 or frames.shape[-1] != 3:
+                raise ValueError(
+                    f"frame must be HxWx3 uint8, got shape "
+                    f"{tuple(frames.shape)} (multicam payload against a "
+                    "single-camera server?)"
+                )
             src_hw = tuple(frames.shape[:2])
         if self._warmed != src_hw:
-            self.sess.warmup(src_hw)
-            self._warmed = src_hw
+            self.warmup(src_hw)
         records = self.sess.step(frames, int(header["timestamp_micros"]))
         return {
             "ok": True,
@@ -179,6 +199,12 @@ class TrackingServer:
         if (socket_path is None) == (port is None):
             raise ValueError("exactly one of socket_path/port required")
         if socket_path is not None:
+            import os
+
+            try:  # crash-only restart: a SIGKILLed daemon leaves the file
+                os.unlink(socket_path)
+            except OSError:
+                pass
             srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             srv.bind(socket_path)
         else:
@@ -196,7 +222,10 @@ class TrackingServer:
                         try:
                             header = json.loads(_recv_block(conn).decode())
                             payload = _recv_block(conn)
-                        except (ConnectionError, json.JSONDecodeError):
+                            if not isinstance(header, dict):
+                                raise ValueError("header must be an object")
+                        except (ConnectionError, json.JSONDecodeError,
+                                UnicodeDecodeError, ValueError):
                             break  # client gone/garbled: drop connection
                         try:
                             resp, closing = self._handle(header, payload)
