@@ -56,6 +56,13 @@ def test_track_from_detections_and_eval(detections_file, tmp_path, capsys):
     m = metrics["ctx0/1"]
     assert m["mota"] > 0.5, m
 
+    # --hota merges HOTA/DetA/AssA into the same rows
+    cli.main(["eval", "--hota", "--pred", out_path, "--gt", gt_path])
+    mh = json.loads(capsys.readouterr().out)["ctx0/1"]
+    assert 0.0 < mh["hota"] <= 1.0, mh
+    assert {"deta", "assa", "loca", "hota_50"} <= set(mh), mh
+    assert mh["hota"] >= 0.5 * m["mota"], mh  # sane on a good tracker
+
 
 def test_interp_cli_and_pipeline_knob(detections_file, tmp_path, capsys):
     """`w2t interp` fills gaps offline; `pipeline.interp_max_gap` does the

@@ -419,16 +419,29 @@ def cmd_eval(args):
                  np.array([r.to_xyxy() for r in h]).reshape(-1, 4))
             )
         m = evaluate_mot(gt_frames, hyp_frames, iou_threshold=args.iou)
-        agg[f"{key[0]}/{key[1]}"] = m.as_dict()
+        row = m.as_dict()
+        if args.hota:
+            from waymo_2d_tracking_tpu.eval.hota import evaluate_hota
+
+            row.update(evaluate_hota(gt_frames, hyp_frames).as_dict())
+        agg[f"{key[0]}/{key[1]}"] = row
         all_gt_frames.extend(gt_frames)
         all_hyp_frames.extend(hyp_frames)
     # pooled CLEAR-MOT over the whole split (the one number to compare
     # against a reference val-sweep run): exact, because segment-interned
     # ids never collide across segments and the per-gt match carry can't
-    # cross a segment boundary (its gt id ends with the segment).
+    # cross a segment boundary (its gt id ends with the segment). The same
+    # argument makes pooled HOTA exact: per-id association counts cannot
+    # cross segments, so the concatenated clip equals TrackEval's
+    # combined-sequence accumulation.
     if len(agg) > 1:
         m = evaluate_mot(all_gt_frames, all_hyp_frames, iou_threshold=args.iou)
-        agg["OVERALL"] = m.as_dict()
+        row = m.as_dict()
+        if args.hota:
+            from waymo_2d_tracking_tpu.eval.hota import evaluate_hota
+
+            row.update(evaluate_hota(all_gt_frames, all_hyp_frames).as_dict())
+        agg["OVERALL"] = row
     print(json.dumps(agg, indent=2))
 
 
@@ -674,6 +687,10 @@ def build_parser():
     sp.add_argument("--pred", required=True)
     sp.add_argument("--gt", required=True)
     sp.add_argument("--iou", type=float, default=0.5)
+    sp.add_argument("--hota", action="store_true",
+                    help="additionally compute HOTA/DetA/AssA/LocA "
+                         "(Luiten et al. 2021; eval/hota.py) per segment "
+                         "and pooled")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("eval-det",
