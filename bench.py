@@ -141,6 +141,49 @@ def bench_online_latency():
     return run_online_latency_bench()
 
 
+def _fallback_to_cpu_config1(reason: str):
+    """Restart this bench on the CPU tracker-only row (backend choice is
+    pinned pre-import via JAX_PLATFORMS, so a clean re-exec is the only
+    reliable switch)."""
+    import os
+
+    print(f"# TPU backend unavailable, falling back to CPU tracker-only: "
+          f"{reason}", file=sys.stderr)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # the TPU plugin dials its tunnel during jax init even under
+    # JAX_PLATFORMS=cpu (it hangs when the tunnel is wedged — the very
+    # condition that got us here), so drop it from the child's path
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p
+    )
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__), "--config1"], env)
+
+
+def _device_backend_alive(timeout_s: float = 300.0) -> bool:
+    """Probe jax device init in a SUBPROCESS with a hard timeout.
+
+    The tunneled backend has two failure modes: raising
+    'Unable to initialize backend' (handled in main) and HANGING
+    indefinitely during init (observed in round 3) — a hang in-process
+    would wedge the whole bench, so the probe must be killable.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True  # explicitly CPU: nothing to probe
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     if "--host" in sys.argv:
         print(json.dumps(bench_host_ingestion()))
@@ -164,6 +207,8 @@ def main():
         return
     src_hw = (1280, 1920) if "--src-full" in sys.argv else None
     tracker_only = "--config1" in sys.argv
+    if not tracker_only and not _device_backend_alive():
+        _fallback_to_cpu_config1("device init probe hung or failed")
     if not tracker_only:
         try:
             # keep the round-1 metric name for the headline row so the
@@ -173,6 +218,14 @@ def main():
             )
         except ImportError:
             tracker_only = True
+        except RuntimeError as e:
+            # a dead device tunnel ("Unable to initialize backend ...")
+            # should degrade to the CPU tracker-only row, not crash the
+            # harness; anything else is a real failure. The backend choice
+            # is pinned pre-import (JAX_PLATFORMS), so restart on CPU.
+            if "backend" not in str(e).lower():
+                raise
+            _fallback_to_cpu_config1(str(e))
     if tracker_only:
         result = bench_tracker_only()
     print(json.dumps(result))

@@ -344,6 +344,39 @@ def test_track_online_cli(tmp_path, capsys):
         assert os.path.exists(os.path.join(out_dir, f"{name}_1.jsonl"))
 
 
+def test_track_video_cli(tmp_path, capsys):
+    """--video streams a plain video file through the online path."""
+    import cv2
+
+    video = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                        (96, 64))
+    assert w.isOpened(), "cv2 VideoWriter unavailable (MJPG/avi)"
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        w.write(rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+    w.release()
+
+    out_dir = str(tmp_path / "out")
+    cli.main([
+        "track", "--video", video, "--out-dir", out_dir,
+        "--set", "detector.backbone=resnet18slim", "detector.image_size=[64,96]",
+        "detector.fpn_channels=32", "detector.head_depth=1",
+        "detector.pre_nms_topk=32", "detector.max_detections=8",
+        "detector.embed_dim=0", "detector.dtype=float32",
+        "detector.score_threshold=0.01",
+        "tracker.max_tracks=16", "tracker.max_detections=8",
+        "tracker.embed_dim=0", "tracker.score_threshold=0.0",
+        "tracker.birth_score_threshold=0.0", "tracker.n_init=1",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["frames"] == 5
+    assert stats["context"] == "clip"
+    # timestamps synthesized at 10 fps -> 100ms spacing
+    recs = subm.read_jsonl(os.path.join(out_dir, "clip_1.jsonl"))
+    assert all(r.timestamp_micros % 100000 == 0 for r in recs)
+
+
 def test_track_online_multicam_cli(tmp_path, capsys):
     """--online --multicam: one rig tick per timestamp through a shared
     detector batch; per-(context, camera) output files like the chunked

@@ -47,6 +47,8 @@ def cmd_track(args):
     cfg = _load_config(args)
     if args.from_detections:
         return _track_from_detections(cfg, args)
+    if args.video:
+        args.online = True  # a video file is inherently a stream
     if args.online:
         if args.sharded:
             raise SystemExit(
@@ -135,6 +137,31 @@ def _track_online(cfg, args):
         sess.params = _load_params(args.params)
     os.makedirs(args.out_dir, exist_ok=True)
     warmed = None
+    if args.video:
+        # stream a plain video file through the same serving session
+        from waymo_2d_tracking_tpu.data.video import iter_video_frames
+
+        stem = os.path.splitext(os.path.basename(args.video))[0]
+        sess.reset(clear_latency=True)
+        sess.context_name = stem
+        records, stamps = [], []
+        for ts, frame in iter_video_frames(args.video):
+            src_hw = tuple(frame.shape[:2])
+            if warmed != src_hw:
+                sess.warmup(src_hw)
+                warmed = src_hw
+            records.extend(sess.step(frame, ts))
+            stamps.append(ts)
+        records = interpolate_gaps(records, stamps,
+                                   cfg.pipeline.interp_max_gap)
+        out_file = os.path.join(args.out_dir, f"{stem}_1.jsonl")
+        subm.write_jsonl(out_file, records)
+        print(json.dumps({
+            "context": stem, "camera": sess.camera_name,
+            "frames": len(stamps), "records": len(records),
+            "latency": sess.latency_stats(),
+        }))
+        return
     for seg in iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras):
         # clear_latency: the stats line below reports THIS segment's
         # serving percentiles, not a cumulative all-segments window
@@ -657,6 +684,10 @@ def build_parser():
                          "dispatch (pipeline/online.py) — minimum latency "
                          "instead of chunked throughput; stats report "
                          "p50/p90/p99 serving latency")
+    sp.add_argument("--video", default=None,
+                    help="stream a plain video file through the online "
+                         "path instead of --segments-dir (implies "
+                         "--online; timestamps synthesized from FPS)")
     sp.add_argument("--out", default="tracks.jsonl")
     sp.add_argument("--fail-after-n-segments", type=int, default=None)
     sp.set_defaults(fn=cmd_track)
