@@ -63,6 +63,16 @@ def test_track_from_detections_and_eval(detections_file, tmp_path, capsys):
     assert {"deta", "assa", "loca", "hota_50"} <= set(mh), mh
     assert mh["hota"] >= 0.5 * m["mota"], mh  # sane on a good tracker
 
+    # --per-class adds pooled per-type rows. GT here is all VEHICLE while
+    # predictions carry the synthetic clip's mixed classes, so the vehicle
+    # row sees every GT but only type-1 predictions (wrong-type predictions
+    # can never match — the Waymo per-class contract).
+    cli.main(["eval", "--per-class", "--pred", out_path, "--gt", gt_path])
+    out_pc = json.loads(capsys.readouterr().out)
+    assert "CLASS_VEHICLE" in out_pc, sorted(out_pc)
+    assert out_pc["CLASS_VEHICLE"]["num_gt"] == m["num_gt"]
+    assert out_pc["CLASS_VEHICLE"]["mota"] <= m["mota"] + 1e-9
+
 
 def test_interp_cli_and_pipeline_knob(detections_file, tmp_path, capsys):
     """`w2t interp` fills gaps offline; `pipeline.interp_max_gap` does the

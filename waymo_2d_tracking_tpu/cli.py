@@ -412,63 +412,86 @@ def cmd_eval(args):
             ).append(r)
         return by_seg
 
-    pred = to_frames(subm.read_jsonl(args.pred))
-    gt = to_frames(subm.read_jsonl(args.gt))
-    # Intern object ids instead of hashing (VERDICT r2 weak #4): hash() is
-    # per-process salted (irreproducible across runs) and collides around
-    # 2^15.5 distinct ids, silently merging trajectories. Ids are interned
-    # per (context, camera) namespace so the same string in two segments
-    # never aliases in the pooled pass.
-    intern: dict = {}
-
-    def _ids(key, rows_):
-        return np.array(
-            [intern.setdefault((key, r.object_id), len(intern)) for r in rows_],
-            dtype=np.int64,
-        )
-
-    agg = {}
-    all_gt_frames, all_hyp_frames = [], []
-    # union of keys: predictions for (context, camera) pairs absent from the
-    # GT file count as false positives (empty GT frames), not silent drops
-    for key in sorted(set(gt) | set(pred)):
-        stamps = sorted(set(gt.get(key, {})) | set(pred.get(key, {})))
-        gt_frames, hyp_frames = [], []
-        for ts in stamps:
-            g = gt.get(key, {}).get(ts, [])
-            h = pred.get(key, {}).get(ts, [])
-            gt_frames.append(
-                (_ids(key, g),
-                 np.array([r.to_xyxy() for r in g]).reshape(-1, 4))
-            )
-            hyp_frames.append(
-                (_ids(key, h),
-                 np.array([r.to_xyxy() for r in h]).reshape(-1, 4))
-            )
-        m = evaluate_mot(gt_frames, hyp_frames, iou_threshold=args.iou)
-        row = m.as_dict()
+    def _row(gt_frames, hyp_frames):
+        row = evaluate_mot(gt_frames, hyp_frames,
+                           iou_threshold=args.iou).as_dict()
         if args.hota:
             from waymo_2d_tracking_tpu.eval.hota import evaluate_hota
 
             row.update(evaluate_hota(gt_frames, hyp_frames).as_dict())
-        agg[f"{key[0]}/{key[1]}"] = row
-        all_gt_frames.extend(gt_frames)
-        all_hyp_frames.extend(hyp_frames)
-    # pooled CLEAR-MOT over the whole split (the one number to compare
-    # against a reference val-sweep run): exact, because segment-interned
-    # ids never collide across segments and the per-gt match carry can't
-    # cross a segment boundary (its gt id ends with the segment). The same
-    # argument makes pooled HOTA exact: per-id association counts cannot
-    # cross segments, so the concatenated clip equals TrackEval's
-    # combined-sequence accumulation.
-    if len(agg) > 1:
-        m = evaluate_mot(all_gt_frames, all_hyp_frames, iou_threshold=args.iou)
-        row = m.as_dict()
-        if args.hota:
-            from waymo_2d_tracking_tpu.eval.hota import evaluate_hota
+        return row
 
-            row.update(evaluate_hota(all_gt_frames, all_hyp_frames).as_dict())
-        agg["OVERALL"] = row
+    def _eval_rows(pred_rows, gt_rows, per_key: bool):
+        """(per-(context,camera) rows if per_key, pooled row or None)."""
+        pred = to_frames(pred_rows)
+        gt = to_frames(gt_rows)
+        # Intern object ids instead of hashing (VERDICT r2 weak #4):
+        # hash() is per-process salted (irreproducible across runs) and
+        # collides around 2^15.5 distinct ids, silently merging
+        # trajectories. Ids are interned per (context, camera) namespace
+        # so the same string in two segments never aliases when pooled.
+        intern: dict = {}
+
+        def _ids(key, rows_):
+            return np.array(
+                [intern.setdefault((key, r.object_id), len(intern))
+                 for r in rows_],
+                dtype=np.int64,
+            )
+
+        agg = {}
+        all_gt_frames, all_hyp_frames = [], []
+        # union of keys: predictions for (context, camera) pairs absent
+        # from the GT file count as false positives, not silent drops
+        for key in sorted(set(gt) | set(pred)):
+            stamps = sorted(set(gt.get(key, {})) | set(pred.get(key, {})))
+            gt_frames, hyp_frames = [], []
+            for ts in stamps:
+                g = gt.get(key, {}).get(ts, [])
+                h = pred.get(key, {}).get(ts, [])
+                gt_frames.append(
+                    (_ids(key, g),
+                     np.array([r.to_xyxy() for r in g]).reshape(-1, 4))
+                )
+                hyp_frames.append(
+                    (_ids(key, h),
+                     np.array([r.to_xyxy() for r in h]).reshape(-1, 4))
+                )
+            if per_key:
+                agg[f"{key[0]}/{key[1]}"] = _row(gt_frames, hyp_frames)
+            all_gt_frames.extend(gt_frames)
+            all_hyp_frames.extend(hyp_frames)
+        # pooled metrics over the whole split (the one number to compare
+        # against a reference val-sweep run): exact, because
+        # segment-interned ids never collide across segments and the
+        # per-gt match carry can't cross a segment boundary. The same
+        # argument makes pooled HOTA exact: per-id association counts stay
+        # within segments, so the concatenated clip equals TrackEval's
+        # combined-sequence accumulation.
+        pooled = None
+        if all_gt_frames and (not per_key or len(agg) > 1):
+            pooled = _row(all_gt_frames, all_hyp_frames)
+        return agg, pooled
+
+    pred_rows = subm.read_jsonl(args.pred)
+    gt_rows = subm.read_jsonl(args.gt)
+    agg, pooled = _eval_rows(pred_rows, gt_rows, per_key=True)
+    if pooled is not None:
+        agg["OVERALL"] = pooled
+    if args.per_class:
+        # Waymo scores classes separately (label.type); a prediction of
+        # the wrong type never matches the GT it overlaps
+        names = subm.WAYMO_TYPE_NAMES
+        types = sorted({r.object_type for r in gt_rows}
+                       | {r.object_type for r in pred_rows})
+        for t in types:
+            _, pooled_c = _eval_rows(
+                [r for r in pred_rows if r.object_type == t],
+                [r for r in gt_rows if r.object_type == t],
+                per_key=False,
+            )
+            if pooled_c is not None:
+                agg[f"CLASS_{names.get(t, t)}"] = pooled_c
     print(json.dumps(agg, indent=2))
 
 
@@ -722,6 +745,10 @@ def build_parser():
                     help="additionally compute HOTA/DetA/AssA/LocA "
                          "(Luiten et al. 2021; eval/hota.py) per segment "
                          "and pooled")
+    sp.add_argument("--per-class", action="store_true", dest="per_class",
+                    help="additionally report pooled metrics per Waymo "
+                         "object type (CLASS_VEHICLE/PEDESTRIAN/CYCLIST "
+                         "rows) — Waymo scores classes separately")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("eval-det",

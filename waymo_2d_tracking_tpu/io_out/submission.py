@@ -35,6 +35,10 @@ TYPE_SIGN = 3
 TYPE_CYCLIST = 4
 # our internal class ids (0, 1, 2) -> Waymo types
 CLASS_TO_WAYMO_TYPE = (TYPE_VEHICLE, TYPE_PEDESTRIAN, TYPE_CYCLIST)
+WAYMO_TYPE_NAMES = {
+    TYPE_VEHICLE: "VEHICLE", TYPE_PEDESTRIAN: "PEDESTRIAN",
+    TYPE_SIGN: "SIGN", TYPE_CYCLIST: "CYCLIST",
+}
 
 # [RECALLED] field numbers — single source of truth for the pb encoding.
 _F = {
