@@ -158,11 +158,14 @@ def test_full_surface_chain(tmp_path, capsys):
     # OVERALL row
     pred_path = str(tmp_path / "pred.jsonl")
     subm.write_jsonl(pred_path, merged)
-    cli.main(["eval", "--pred", pred_path, "--gt", gt_path])
+    cli.main(["eval", "--hota", "--per-class",
+              "--pred", pred_path, "--gt", gt_path])
     mot = json.loads(capsys.readouterr().out)
     assert "OVERALL" in mot
     assert {f"ctxF/{c}" for c in range(1, NUM_CAMS + 1)} <= set(mot)
     assert mot["OVERALL"]["num_gt"] == len(gt_records)
+    assert 0.0 <= mot["OVERALL"]["hota"] <= 1.0
+    assert any(k.startswith("CLASS_") for k in mot)
 
     # 9. draw: render tracked boxes back onto the frames
     viz = str(tmp_path / "viz")
