@@ -56,7 +56,10 @@ def cmd_track(args):
                 "with --sharded (fan streams across processes instead, one "
                 "OnlineTracker per chip)"
             )
-        return _track_online(cfg, args)
+        from waymo_2d_tracking_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            return _track_online(cfg, args)
     import jax
 
     from waymo_2d_tracking_tpu.pipeline.run import SegmentPipeline, run_segments
@@ -642,8 +645,11 @@ def cmd_serve(args):
         print(json.dumps({"ready": True, "addr": list(addr)
                           if isinstance(addr, tuple) else addr}), flush=True)
 
-    n = server.serve(socket_path=args.socket, port=args.port,
-                     max_requests=args.max_requests, on_ready=on_ready)
+    from waymo_2d_tracking_tpu.utils.profiling import trace
+
+    with trace(args.profile):
+        n = server.serve(socket_path=args.socket, port=args.port,
+                         max_requests=args.max_requests, on_ready=on_ready)
     print(json.dumps({"requests": n,
                       "latency": server.sess.latency_stats()}))
 
