@@ -38,3 +38,18 @@ import jax  # noqa: E402
 # the in-process config update always wins
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is compile-dominated (cold run
+# ~17 min, mostly XLA:CPU builds of the same detector/tracker jits), so
+# repeat runs reuse compiled executables from disk. Keyed by backend +
+# jaxlib version, safe across the virtual 8-device mesh. The dir is
+# gitignored; delete it to force a cold run.
+_cache_dir = os.environ.get(
+    "W2T_JAX_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+if _cache_dir != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
