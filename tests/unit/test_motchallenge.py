@@ -1,0 +1,142 @@
+"""MOTChallenge interop (io_out/motchallenge.py + import-mot/export-mot CLI)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from waymo_2d_tracking_tpu.io_out import submission as subm
+from waymo_2d_tracking_tpu.io_out.motchallenge import (
+    FRAME_PERIOD_US,
+    MotImportStats,
+    read_mot,
+    read_mot_tree,
+    write_mot,
+)
+from waymo_2d_tracking_tpu.io_out.submission import (
+    TYPE_CYCLIST,
+    TYPE_PEDESTRIAN,
+    TYPE_VEHICLE,
+    TrackRecord,
+)
+
+
+def _rec(ctx, frame, oid, box, score=0.9, otype=TYPE_PEDESTRIAN, cam=1):
+    return TrackRecord.from_xyxy(
+        context_name=ctx, timestamp_micros=frame * FRAME_PERIOD_US,
+        camera_name=cam, object_id=oid, object_type=otype,
+        box_xyxy=box, score=score)
+
+
+def test_round_trip_preserves_boxes_frames_identity(tmp_path):
+    recs = [
+        _rec("seqA", 1, "a", (10.0, 20.0, 50.0, 80.0)),
+        _rec("seqA", 1, "b", (100.0, 40.0, 160.0, 90.0), otype=TYPE_VEHICLE),
+        _rec("seqA", 2, "a", (12.0, 22.0, 52.0, 82.0)),
+        _rec("seqA", 3, "c", (0.0, 0.0, 8.0, 8.0), otype=TYPE_CYCLIST),
+    ]
+    written = write_mot(recs, str(tmp_path))
+    assert written == {"seqA.txt": 4}
+    back, stats = read_mot(str(tmp_path / "seqA.txt"))
+    assert stats.kept == 4
+    # same frames, same boxes (to the 0.01 px the format carries)
+    for orig, rt in zip(sorted(recs, key=lambda r: (r.timestamp_micros,
+                                                    r.object_id)), back):
+        assert rt.context_name == "seqA"
+        assert rt.timestamp_micros == orig.timestamp_micros
+        np.testing.assert_allclose(rt.to_xyxy(), orig.to_xyxy(), atol=0.01)
+    # identity structure survives: frames 1 and 2 of original id 'a' share
+    # one exported id, 'b' and 'c' each get their own
+    ids = {}
+    for r in back:
+        ids.setdefault(r.object_id, []).append(r.timestamp_micros)
+    assert sorted(len(v) for v in ids.values()) == [1, 1, 2]
+
+
+def test_multi_camera_context_gets_per_camera_files(tmp_path):
+    recs = [_rec("ctx", 1, "a", (0, 0, 10, 10), cam=1),
+            _rec("ctx", 1, "a", (5, 5, 15, 15), cam=2)]
+    written = write_mot(recs, str(tmp_path))
+    assert sorted(written) == ["ctx_cam1.txt", "ctx_cam2.txt"]
+
+
+def test_gt_semantics_ignore_and_class_mapping(tmp_path):
+    p = tmp_path / "gt.txt"
+    p.write_text(
+        "1,1,10,10,20,40,1,1,1.0\n"      # pedestrian, kept
+        "1,2,50,10,20,40,0,1,1.0\n"      # consider flag 0 -> ignored
+        "1,3,90,10,60,30,1,3,1.0\n"      # car -> VEHICLE
+        "1,4,10,60,20,20,1,8,1.0\n"      # distractor class -> skipped
+        "2,5,10,10,20,40,1,7,0.6\n"      # static person -> PEDESTRIAN
+        "2,6,40,10,20,40,1,4,1.0\n"      # bicycle -> CYCLIST
+    )
+    recs, stats = read_mot(str(p), gt=True)
+    assert stats == MotImportStats(kept=4, skipped_ignore=1, skipped_class=1)
+    assert [r.object_type for r in recs] == [
+        TYPE_PEDESTRIAN, TYPE_VEHICLE, TYPE_PEDESTRIAN, TYPE_CYCLIST]
+    assert all(r.score == 1.0 for r in recs)  # gt confidence is not a score
+
+
+def test_detection_file_unique_ids_and_conf(tmp_path):
+    p = tmp_path / "det.txt"
+    p.write_text("1,-1,10,10,20,40,0.7\n1,-1,50,10,20,40,0.3\n")
+    recs, _ = read_mot(str(p))
+    assert recs[0].object_id != recs[1].object_id
+    assert recs[0].score == pytest.approx(0.7)
+    assert recs[1].score == pytest.approx(0.3)
+
+
+def test_read_tree_official_layout_and_flat_layout(tmp_path):
+    # official: <seq>/gt/gt.txt; flat: <seq>.txt
+    off = tmp_path / "MOT17-02" / "gt"
+    off.mkdir(parents=True)
+    (off / "gt.txt").write_text("1,1,0,0,10,10,1,1,1.0\n")
+    recs, _ = read_mot_tree(str(tmp_path), gt=True)
+    assert [r.context_name for r in recs] == ["MOT17-02"]
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "seqB.txt").write_text("1,1,0,0,10,10,0.9\n")
+    recs, _ = read_mot_tree(str(flat))
+    assert [r.context_name for r in recs] == ["seqB"]
+
+    with pytest.raises(FileNotFoundError):
+        read_mot_tree(str(tmp_path / "flat" / "empty-missing"))
+
+
+def test_cli_import_eval_export_chain(tmp_path, capsys):
+    """import-mot (gt + results) -> w2t eval scores them -> export-mot."""
+    from waymo_2d_tracking_tpu import cli
+
+    gt = tmp_path / "gt.txt"
+    gt.write_text(
+        "1,1,10,10,20,40,1,1,1.0\n"
+        "1,2,100,10,20,40,1,1,1.0\n"
+        "2,1,12,10,20,40,1,1,1.0\n"
+        "2,2,102,10,20,40,1,1,1.0\n"
+    )
+    res = tmp_path / "res.txt"
+    # perfect hypothesis with different ids
+    res.write_text(
+        "1,7,10,10,20,40,0.9\n1,8,100,10,20,40,0.9\n"
+        "2,7,12,10,20,40,0.9\n2,8,102,10,20,40,0.9\n"
+    )
+    gt_jsonl = str(tmp_path / "gt.jsonl")
+    res_jsonl = str(tmp_path / "res.jsonl")
+    cli.main(["import-mot", str(gt), "--out", gt_jsonl, "--gt",
+              "--context", "MOT-seq"])
+    cli.main(["import-mot", str(res), "--out", res_jsonl,
+              "--context", "MOT-seq"])
+    capsys.readouterr()
+    cli.main(["eval", "--pred", res_jsonl, "--gt", gt_jsonl])
+    row = json.loads(capsys.readouterr().out)
+    key = "MOT-seq/1"
+    assert row[key]["mota"] == pytest.approx(1.0)
+    assert row[key]["num_idsw"] == 0
+    assert row[key]["num_matches"] == 4
+
+    out_dir = str(tmp_path / "export")
+    cli.main(["export-mot", res_jsonl, "--out-dir", out_dir])
+    out = json.loads(capsys.readouterr().out)
+    assert out["files"] == {"MOT-seq.txt": 4}
+    assert os.path.isfile(os.path.join(out_dir, "MOT-seq.txt"))

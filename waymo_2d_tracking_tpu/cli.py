@@ -385,6 +385,45 @@ def cmd_submit(args):
     print(json.dumps({"objects": n, "out": args.out}))
 
 
+def cmd_import_mot(args):
+    """MOTChallenge text files -> canonical TrackRecord JSONL.
+
+    Bridges MOT16/17/20 gt / det / result files into every existing verb
+    (eval --hota, track --from-detections, interp, submit). See
+    io_out/motchallenge.py for the mapping rules.
+    """
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+    from waymo_2d_tracking_tpu.io_out.motchallenge import (
+        read_mot,
+        read_mot_tree,
+    )
+
+    if args.context and os.path.isfile(args.input):
+        records, stats = read_mot(args.input, context_name=args.context,
+                                  gt=args.gt, camera_name=args.camera)
+    else:
+        records, stats = read_mot_tree(args.input, gt=args.gt,
+                                       camera_name=args.camera)
+    n = subm.write_jsonl(args.out, records)
+    print(json.dumps({
+        "records": n, "out": args.out, "skipped_ignore":
+        stats.skipped_ignore, "skipped_class": stats.skipped_class,
+    }))
+
+
+def cmd_export_mot(args):
+    """TrackRecord JSONL -> MOT result files (one per sequence/camera),
+    consumable by py-motmetrics / TrackEval / the MOT submission server."""
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+    from waymo_2d_tracking_tpu.io_out.motchallenge import write_mot
+
+    records = []
+    for path in args.inputs:
+        records.extend(subm.read_jsonl(path))
+    written = write_mot(records, args.out_dir)
+    print(json.dumps({"files": written, "out_dir": args.out_dir}))
+
+
 def cmd_interp(args):
     """Offline gap interpolation over a track JSONL (io_out/postprocess)."""
     from waymo_2d_tracking_tpu.io_out import submission as subm
@@ -731,6 +770,36 @@ def build_parser():
     sp.add_argument("inputs", nargs="+")
     sp.add_argument("--out", default="submission.pb")
     sp.set_defaults(fn=cmd_submit)
+
+    sp = sub.add_parser(
+        "import-mot",
+        help="MOTChallenge txt (gt/det/results) -> TrackRecord JSONL",
+    )
+    sp.add_argument("input",
+                    help=".txt file, or a directory (<seq>.txt or the "
+                         "official <seq>/gt/gt.txt layout)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--gt", action="store_true",
+                    help="ground-truth semantics: honor the consider flag "
+                         "and class column (ignore regions/distractors "
+                         "skipped)")
+    sp.add_argument("--camera", type=int, default=1,
+                    help="camera_name to stamp (MOT sequences are "
+                         "single-camera; default FRONT=1)")
+    sp.add_argument("--context", default=None,
+                    help="sequence/context name override for single-file "
+                         "input (default: the file's basename — gt.txt and "
+                         "results for the same sequence need the same name "
+                         "to be comparable by w2t eval)")
+    sp.set_defaults(fn=cmd_import_mot)
+
+    sp = sub.add_parser(
+        "export-mot",
+        help="TrackRecord JSONL -> MOTChallenge result files per sequence",
+    )
+    sp.add_argument("inputs", nargs="+")
+    sp.add_argument("--out-dir", required=True)
+    sp.set_defaults(fn=cmd_export_mot)
 
     sp = sub.add_parser(
         "interp",
