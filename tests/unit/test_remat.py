@@ -1,0 +1,75 @@
+"""Rematerialized training (TrainConfig.remat -> per-block nn.remat).
+
+Remat replays each residual block's forward during backward; XLA may
+reassociate reductions in the replay, so gradients agree to float tolerance
+(not bitwise). The win (−28-30% peak temp HBM for +10% step time at
+r34@512x768, measured on-chip) is recorded in BASELINE.md.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waymo_2d_tracking_tpu.config import Config, DetectorConfig, TrainConfig
+from waymo_2d_tracking_tpu.data.synthetic import render_detection_batch
+from waymo_2d_tracking_tpu.models.detector import Detector
+from waymo_2d_tracking_tpu.train.train import DetectorTrainer
+
+pytestmark = pytest.mark.slow  # several full model/trainer compiles
+
+DET = DetectorConfig(
+    backbone="resnet18slim", image_size=(64, 96), fpn_channels=32,
+    head_depth=1, embed_dim=0, dtype="float32",
+)
+
+
+def _grads(remat: bool):
+    model = Detector(DET, remat=remat)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (2, 64, 96, 3))
+        .astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), imgs,
+                           method=Detector.init_all)
+
+    def loss(params):
+        (head_out, _), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            imgs, method=Detector.forward_train, mutable=["batch_stats"],
+        )
+        return sum(jnp.sum(jnp.square(l)) for l in jax.tree.leaves(head_out))
+
+    return variables["params"], jax.device_get(jax.grad(loss)(
+        variables["params"]))
+
+
+def test_remat_gradients_match_plain_gradients():
+    p_plain, g_plain = _grads(remat=False)
+    p_remat, g_remat = _grads(remat=True)
+    # identical init => identical param trees (remat preserves scope names)
+    assert (jax.tree.structure(p_plain) == jax.tree.structure(p_remat))
+    # float32 reassociation in the replayed blocks perturbs individual
+    # entries where large contributions cancel; the meaningful equivalence
+    # claim is the whole gradient vector
+    a = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g_plain)])
+    b = np.concatenate([np.ravel(l) for l in jax.tree.leaves(g_remat)])
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    assert na > 0 and abs(na / nb - 1) < 1e-3
+    cos = float(np.dot(a, b) / (na * nb))
+    assert cos > 1 - 1e-6, cos
+    assert np.linalg.norm(a - b) / na < 1e-3
+
+
+def test_trainer_remat_step_runs_and_learns_shape():
+    cfg = Config(detector=DET,
+                 train=TrainConfig(batch_size=2, warmup_steps=1,
+                                   total_steps=20, remat=True))
+    trainer = DetectorTrainer(cfg)
+    state = trainer.create_state(jax.random.PRNGKey(0), batch_size=2)
+    batch = render_detection_batch(np.random.default_rng(0), 2,
+                                   DET.image_size)
+    losses = []
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 3

@@ -230,6 +230,14 @@ class TrainConfig:
                               # DetectorTrainer.eval_variables(state)
     checkpoint_every: int = 1000
     checkpoint_dir: str = "/tmp/w2t_ckpt"
+    # Per-block backbone rematerialization (flax nn.remat): backward
+    # recomputes each residual block's activations instead of keeping them
+    # in HBM — peak-memory for ~1 extra backbone forward of FLOPs, the
+    # standard TPU trade for larger batches / resolutions (measured
+    # on-chip in BASELINE.md). Full-forward jax.checkpoint was measured
+    # counterproductive (+3% temp HBM) — XLA's schedule already caps the
+    # naive backward; per-block is what wins.
+    remat: bool = False
     # input augmentation (data/coco.py iterator)
     aug_flip: bool = True
     aug_scale_range: Tuple[float, float] = (0.8, 1.25)  # multi-scale jitter

@@ -58,6 +58,9 @@ class Detector(nn.Module):
     """Raw forward: images (N, H, W, 3) -> per-level head outputs + P3."""
 
     cfg: DetectorConfig
+    # train-time backbone rematerialization (TrainConfig.remat); inference
+    # builds leave this False — see models/resnet.py ResNet.remat
+    remat: bool = False
 
     def setup(self):
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
@@ -73,7 +76,7 @@ class Detector(nn.Module):
         if self.cfg.backbone not in factories:
             raise ValueError(f"unknown backbone {self.cfg.backbone}")
         self.backbone = factories[self.cfg.backbone](
-            dtype=dtype, stem=self.cfg.stem
+            dtype=dtype, stem=self.cfg.stem, remat=self.remat
         )
         self.fpn = FPN(channels=self.cfg.fpn_channels,
                        levels=tuple(self.cfg.fpn_levels), dtype=dtype)

@@ -134,6 +134,13 @@ class ResNet(nn.Module):
     block: str = "bottleneck"
     stem: str = "conv7"
     dtype: Any = jnp.bfloat16
+    # Per-block rematerialization: backward recomputes each residual
+    # block's activations from its input instead of keeping them in HBM.
+    # Peak activation memory drops to ~one block's working set per
+    # resolution; identical numerics (same ops replayed). Train-time only —
+    # inference paths leave this False (jax.checkpoint's optimization
+    # barriers can inhibit forward fusion).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[int, jnp.ndarray]:
@@ -153,6 +160,10 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
+        if self.remat:
+            # lifted transform keeps scope/param names, so remat and plain
+            # checkpoints are interchangeable; train flag is static
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         feats: Dict[int, jnp.ndarray] = {}
         for stage, num_blocks in enumerate(self.stage_sizes):
             width = self.width * (2 ** stage)
@@ -161,29 +172,37 @@ class ResNet(nn.Module):
                 x = block_cls(
                     features=width, stride=stride, dtype=self.dtype,
                     name=f"stage{stage + 1}_block{block}",
-                )(x, train=train)
+                )(x, train)
             feats[stage + 2] = x  # C2 (/4) .. C5 (/32)
         return feats
 
 
-def ResNet18(dtype: Any = jnp.bfloat16, stem: str = "conv7") -> ResNet:
+def ResNet18(dtype: Any = jnp.bfloat16, stem: str = "conv7",
+             remat: bool = False) -> ResNet:
     return ResNet(stage_sizes=(2, 2, 2, 2), width=64, block="basic",
-                  stem=stem, dtype=dtype)
+                  stem=stem, dtype=dtype, remat=remat)
 
 
-def ResNet34(dtype: Any = jnp.bfloat16, stem: str = "conv7") -> ResNet:
+def ResNet34(dtype: Any = jnp.bfloat16, stem: str = "conv7",
+             remat: bool = False) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), width=64, block="basic",
-                  stem=stem, dtype=dtype)
+                  stem=stem, dtype=dtype, remat=remat)
 
 
-def ResNet50(dtype: Any = jnp.bfloat16, stem: str = "conv7") -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), width=64, stem=stem, dtype=dtype)
+def ResNet50(dtype: Any = jnp.bfloat16, stem: str = "conv7",
+             remat: bool = False) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), width=64, stem=stem, dtype=dtype,
+                  remat=remat)
 
 
-def ResNet101(dtype: Any = jnp.bfloat16, stem: str = "conv7") -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 23, 3), width=64, stem=stem, dtype=dtype)
+def ResNet101(dtype: Any = jnp.bfloat16, stem: str = "conv7",
+              remat: bool = False) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3), width=64, stem=stem, dtype=dtype,
+                  remat=remat)
 
 
-def ResNet18Slim(dtype: Any = jnp.bfloat16, stem: str = "conv7") -> ResNet:
+def ResNet18Slim(dtype: Any = jnp.bfloat16, stem: str = "conv7",
+                 remat: bool = False) -> ResNet:
     """Small twin for tests (same structure, 1-block stages)."""
-    return ResNet(stage_sizes=(1, 1, 1, 1), width=16, stem=stem, dtype=dtype)
+    return ResNet(stage_sizes=(1, 1, 1, 1), width=16, stem=stem, dtype=dtype,
+                  remat=remat)

@@ -53,7 +53,7 @@ class DetectorTrainer:
 
     def __init__(self, cfg: Config, mesh=None):
         self.cfg = cfg
-        self.model = Detector(cfg.detector)
+        self.model = Detector(cfg.detector, remat=cfg.train.remat)
         self.tx = make_optimizer(cfg.train)
         self.mesh = mesh
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
