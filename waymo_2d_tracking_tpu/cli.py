@@ -424,6 +424,30 @@ def cmd_export_mot(args):
     print(json.dumps({"files": written, "out_dir": args.out_dir}))
 
 
+def cmd_export_savedmodel(args):
+    """Detector -> TF SavedModel (io_out/export_tf.py): a portable serving
+    artifact (TF Serving / tf.saved_model.load, no JAX at destination).
+    --platform tpu keeps the real Pallas kernels (TPU-only artifact);
+    --platform cpu exports the interpret path (runs anywhere TF runs)."""
+    import jax
+
+    from waymo_2d_tracking_tpu.io_out.export_tf import export_savedmodel
+
+    cfg = _load_config(args)
+    if args.params:
+        variables = _load_params(args.params)
+    else:
+        # random init — shape/integration testing without a checkpoint
+        from waymo_2d_tracking_tpu.models.detector import DetectorRunner
+
+        variables = DetectorRunner(cfg.detector).init_params(
+            jax.random.PRNGKey(args.seed))
+    info = export_savedmodel(cfg.detector, variables, args.out,
+                             batch_size=args.batch,
+                             platform=args.platform)
+    print(json.dumps(info))
+
+
 def cmd_interp(args):
     """Offline gap interpolation over a track JSONL (io_out/postprocess)."""
     from waymo_2d_tracking_tpu.io_out import submission as subm
@@ -770,6 +794,20 @@ def build_parser():
     sp.add_argument("inputs", nargs="+")
     sp.add_argument("--out", default="submission.pb")
     sp.set_defaults(fn=cmd_submit)
+
+    sp = sub.add_parser(
+        "export-savedmodel",
+        help="detector -> TF SavedModel serving artifact (jax2tf)",
+    )
+    common(sp)
+    sp.add_argument("--out", required=True, help="SavedModel output dir")
+    sp.add_argument("--batch", type=int, default=1,
+                    help="static serving batch size baked into the "
+                         "signature")
+    sp.add_argument("--platform", choices=("cpu", "tpu"), default="cpu",
+                    help="cpu: portable StableHLO (interpret-path "
+                         "kernels); tpu: real Pallas kernels, TPU-only")
+    sp.set_defaults(fn=cmd_export_savedmodel)
 
     sp = sub.add_parser(
         "import-mot",

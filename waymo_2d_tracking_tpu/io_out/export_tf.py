@@ -1,0 +1,95 @@
+"""TF SavedModel export of the detector (deployment artifact).
+
+The reference stack's deployment story is torch checkpoints consumed by
+its own scripts; a framework needs a portable serving artifact. This
+exports the full jitted detect step (images -> boxes/scores/classes/
+embeds/valid, weights baked in) through ``jax.experimental.jax2tf``
+native serialization into a TF SavedModel, loadable by TF Serving /
+``tf.saved_model.load`` with no JAX at the destination.
+
+Platform semantics (the one real constraint):
+- ``platform='tpu'`` serializes the real Pallas kernels (NMS et al.) as
+  Mosaic custom calls — the artifact runs on TPU only, at full speed.
+- ``platform='cpu'`` builds the detect step with the kernels' interpret
+  (pure-JAX emulation) path, which lowers to plain StableHLO — the
+  artifact runs anywhere TF runs. Correctness-identical (the interpret
+  path is the CI oracle), slower NMS.
+A single artifact cannot mix the two: ``interpret`` is a trace-time
+switch, so each platform gets its own export.
+
+Batch size is static (XLA static shapes; SURVEY.md §1.2): pick the
+serving batch at export time, export several signatures if needed.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def make_detect_fn(cfg, variables, platform: str):
+    """(jit-able detect closure, (h, w)) for the requested platform."""
+    import jax
+
+    from waymo_2d_tracking_tpu.models.detector import DetectorRunner
+
+    if platform not in ("cpu", "tpu"):
+        raise ValueError(f"platform must be 'cpu' or 'tpu', got {platform!r}")
+    runner = DetectorRunner(cfg, interpret=(platform == "cpu"))
+    # freeze weights into the graph; jax2tf stages them as TF constants
+    variables = jax.tree.map(np.asarray, variables)
+
+    def detect(images):
+        dets = runner._detect_impl(variables, images)
+        return {
+            "boxes": dets.boxes, "scores": dets.scores,
+            "classes": dets.classes, "embeds": dets.embeds,
+            "valid": dets.valid,
+        }
+
+    return detect, cfg.image_size
+
+
+def export_savedmodel(
+    cfg,
+    variables,
+    out_dir: str,
+    batch_size: int = 1,
+    platform: str = "cpu",
+) -> dict:
+    """Export the detect step as a SavedModel; returns a summary dict."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    detect, (h, w) = make_detect_fn(cfg, variables, platform)
+    tf_fn = jax2tf.convert(
+        detect,
+        with_gradient=False,
+        native_serialization_platforms=(platform,),
+    )
+    module = tf.Module()
+    module.detect = tf.function(
+        tf_fn,
+        autograph=False,
+        input_signature=[
+            tf.TensorSpec([batch_size, h, w, 3], tf.float32, name="images")
+        ],
+    )
+    tf.saved_model.save(module, out_dir)
+    return {
+        "out": out_dir,
+        "platform": platform,
+        "batch_size": batch_size,
+        "image_size": [h, w],
+        "signature": "detect(images: float32[b,h,w,3]) -> "
+                     "{boxes, scores, classes, embeds, valid}",
+    }
+
+
+def load_and_run(out_dir: str, images: np.ndarray) -> dict:
+    """Convenience: reload an exported model and run it (tests/smoke)."""
+    import tensorflow as tf
+
+    m = tf.saved_model.load(out_dir)
+    out = m.detect(tf.constant(images, tf.float32))
+    return {k: np.asarray(v) for k, v in out.items()}
