@@ -423,3 +423,15 @@ def test_track_online_multicam_cli(tmp_path, capsys):
         assert os.path.exists(f), f
         for line in open(f):
             assert json.loads(line)["camera_name"] == cam
+
+
+def test_doctor_reports_healthy_env(capsys):
+    from waymo_2d_tracking_tpu import cli
+
+    rc = cli.main(["doctor"])
+    report = json.loads(capsys.readouterr().out)
+    assert rc == 0 and report["status"] == "ok"
+    assert report["jax"]["device_count"] == 8  # virtual CPU mesh
+    assert set(report["native"]) == {"jpeg_decoder", "tfrecord_scanner"}
+    assert "headline" in report["presets"]
+    assert report["optional_deps"]["flax"] is not None

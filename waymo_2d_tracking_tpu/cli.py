@@ -717,6 +717,62 @@ def cmd_serve(args):
                       "latency": server.sess.latency_stats()}))
 
 
+def cmd_doctor(args):
+    """Environment / install health report (one JSON object): JAX backend
+    and devices, native host libraries, optional deps, preset inventory.
+    The first thing to run when a deployment misbehaves."""
+    import importlib
+
+    report = {}
+    import jax
+
+    try:
+        devs = jax.devices()
+        report["jax"] = {
+            "version": jax.__version__,
+            "backend": devs[0].platform if devs else "none",
+            "devices": [str(d) for d in devs],
+            "device_count": len(devs),
+        }
+    except Exception as e:  # tunnel down / no backend
+        report["jax"] = {"version": jax.__version__, "error": str(e)}
+
+    from waymo_2d_tracking_tpu.data import tfrecord_native
+    from waymo_2d_tracking_tpu.data.jpeg import BatchJpegDecoder
+
+    try:
+        dec = BatchJpegDecoder(32, 32)
+        native_jpeg = dec.is_native
+        dec.close()
+    except Exception:
+        native_jpeg = False
+    report["native"] = {
+        "jpeg_decoder": native_jpeg,
+        "tfrecord_scanner": tfrecord_native.is_available(),
+    }
+
+    report["optional_deps"] = {}
+    for mod in ("tensorflow", "torch", "cv2", "scipy", "flax", "optax",
+                "orbax.checkpoint"):
+        try:
+            m = importlib.import_module(mod)
+            report["optional_deps"][mod] = getattr(m, "__version__", "ok")
+        except Exception:
+            report["optional_deps"][mod] = None
+
+    preset_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+    presets = (sorted(f[:-5] for f in os.listdir(preset_dir)
+                      if f.endswith(".yaml"))
+               if os.path.isdir(preset_dir) else [])
+    report["presets"] = presets
+    ok = ("error" not in report["jax"]
+          and report["jax"].get("device_count", 0) > 0)
+    report["status"] = "ok" if ok else "degraded"
+    print(json.dumps(report, indent=2))
+    return 0 if ok else 1
+
+
 def cmd_bench(args):
     cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")]
     for flag in ("config1", "config4", "config5", "fast", "production",
@@ -931,6 +987,12 @@ def build_parser():
     sp.add_argument("--max-requests", type=int, default=None,
                     help="exit after N requests (drain/test hook)")
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser(
+        "doctor",
+        help="environment health report (backend, native libs, deps)",
+    )
+    sp.set_defaults(fn=cmd_doctor)
 
     sp = sub.add_parser("bench", help="run the benchmark harness")
     sp.add_argument("--config1", action="store_true",
