@@ -113,3 +113,60 @@ def test_mostly_lost():
     ] * 9
     m = evaluate_mot(gt, hyp)
     assert m.mostly_lost == 1 and m.mostly_tracked == 0
+
+
+def test_combine_mot_equals_concatenated_evaluation():
+    """combine_mot (pooled-from-counts, used by `w2t eval` OVERALL) must
+    equal evaluate_mot on the concatenated frame list whenever parts share
+    no trajectory ids — including degenerate parts (gt-only / pred-only)."""
+    import numpy as np
+
+    from waymo_2d_tracking_tpu.eval.mot import combine_mot, evaluate_mot
+
+    rng = np.random.default_rng(3)
+
+    def rand_frames(n_frames, id_base, n_ids, drop=0.2, jitter=4.0,
+                    empty_hyp=False, empty_gt=False):
+        gt_frames, hyp_frames = [], []
+        tracks = {
+            id_base + i: rng.uniform(0, 200, 2) for i in range(n_ids)
+        }
+        for t in range(n_frames):
+            g_ids, g_boxes, h_ids, h_boxes = [], [], [], []
+            for tid, origin in tracks.items():
+                x, y = origin + t * 1.5
+                box = [x, y, x + 30, y + 40]
+                if not empty_gt:
+                    g_ids.append(tid)
+                    g_boxes.append(box)
+                if not empty_hyp and rng.uniform() > drop:
+                    jit = rng.uniform(-jitter, jitter, 4)
+                    # hypothesis ids offset so they never collide with gt
+                    # ids (evaluate_mot ids are namespace-free ints)
+                    h_ids.append(tid + 10_000)
+                    h_boxes.append(list(np.asarray(box) + jit))
+            gt_frames.append((np.array(g_ids, np.int64),
+                              np.array(g_boxes).reshape(-1, 4)))
+            hyp_frames.append((np.array(h_ids, np.int64),
+                               np.array(h_boxes).reshape(-1, 4)))
+        return gt_frames, hyp_frames
+
+    parts = [
+        rand_frames(25, 0, 6),
+        rand_frames(40, 100, 9, drop=0.4, jitter=8.0),
+        rand_frames(10, 200, 3, empty_hyp=True),   # FN-only part
+        rand_frames(8, 300, 2, empty_gt=True),     # FP-only part (gt empty)
+    ]
+    per_part = [evaluate_mot(g, h) for g, h in parts]
+    combined = combine_mot(per_part)
+    cat_gt = [f for g, _ in parts for f in g]
+    cat_hyp = [f for _, h in parts for f in h]
+    whole = evaluate_mot(cat_gt, cat_hyp)
+
+    for field in ("num_frames", "num_gt", "num_matches", "num_fp",
+                  "num_fn", "num_idsw", "mostly_tracked", "mostly_lost"):
+        assert getattr(combined, field) == getattr(whole, field), field
+    for field in ("mota", "motp", "idf1"):
+        assert abs(getattr(combined, field) - getattr(whole, field)) < 1e-9, field
+
+    assert combine_mot([]).num_frames == 0

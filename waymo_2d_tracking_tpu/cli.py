@@ -467,7 +467,7 @@ def cmd_interp(args):
 def cmd_eval(args):
     import numpy as np
 
-    from waymo_2d_tracking_tpu.eval.mot import evaluate_mot
+    from waymo_2d_tracking_tpu.eval.mot import combine_mot, evaluate_mot
     from waymo_2d_tracking_tpu.io_out import submission as subm
 
     def to_frames(rows):
@@ -478,14 +478,10 @@ def cmd_eval(args):
             ).append(r)
         return by_seg
 
-    def _row(gt_frames, hyp_frames):
-        row = evaluate_mot(gt_frames, hyp_frames,
-                           iou_threshold=args.iou).as_dict()
-        if args.hota:
-            from waymo_2d_tracking_tpu.eval.hota import evaluate_hota
+    def _hota(gt_frames, hyp_frames):
+        from waymo_2d_tracking_tpu.eval.hota import evaluate_hota
 
-            row.update(evaluate_hota(gt_frames, hyp_frames).as_dict())
-        return row
+        return evaluate_hota(gt_frames, hyp_frames).as_dict()
 
     def _eval_rows(pred_rows, gt_rows, per_key: bool):
         """(per-(context,camera) rows if per_key, pooled row or None)."""
@@ -506,7 +502,8 @@ def cmd_eval(args):
             )
 
         agg = {}
-        all_gt_frames, all_hyp_frames = [], []
+        mot_parts = []
+        all_gt_frames, all_hyp_frames = [], []   # pooled HOTA only
         # union of keys: predictions for (context, camera) pairs absent
         # from the GT file count as false positives, not silent drops
         for key in sorted(set(gt) | set(pred)):
@@ -523,20 +520,31 @@ def cmd_eval(args):
                     (_ids(key, h),
                      np.array([r.to_xyxy() for r in h]).reshape(-1, 4))
                 )
+            m = evaluate_mot(gt_frames, hyp_frames, iou_threshold=args.iou)
+            mot_parts.append(m)
             if per_key:
-                agg[f"{key[0]}/{key[1]}"] = _row(gt_frames, hyp_frames)
-            all_gt_frames.extend(gt_frames)
-            all_hyp_frames.extend(hyp_frames)
+                row = m.as_dict()
+                if args.hota:
+                    row.update(_hota(gt_frames, hyp_frames))
+                agg[f"{key[0]}/{key[1]}"] = row
+            if args.hota:
+                all_gt_frames.extend(gt_frames)
+                all_hyp_frames.extend(hyp_frames)
         # pooled metrics over the whole split (the one number to compare
         # against a reference val-sweep run): exact, because
         # segment-interned ids never collide across segments and the
-        # per-gt match carry can't cross a segment boundary. The same
-        # argument makes pooled HOTA exact: per-id association counts stay
-        # within segments, so the concatenated clip equals TrackEval's
-        # combined-sequence accumulation.
+        # per-gt match carry can't cross a segment boundary — so the
+        # pooled CLEAR row combines from the per-key counts (combine_mot;
+        # equality with a concatenated re-run is unit-tested) instead of
+        # paying a second Hungarian-per-frame pass over the whole split.
+        # Pooled HOTA still runs on the concatenation: per-id association
+        # counts stay within segments, so the concatenated clip equals
+        # TrackEval's combined-sequence accumulation.
         pooled = None
-        if all_gt_frames and (not per_key or len(agg) > 1):
-            pooled = _row(all_gt_frames, all_hyp_frames)
+        if mot_parts and (not per_key or len(agg) > 1):
+            pooled = combine_mot(mot_parts).as_dict()
+            if args.hota:
+                pooled.update(_hota(all_gt_frames, all_hyp_frames))
         return agg, pooled
 
     pred_rows = subm.read_jsonl(args.pred)

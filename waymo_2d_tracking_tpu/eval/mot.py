@@ -87,6 +87,41 @@ def _frame_iou(gt_boxes: np.ndarray, hyp_boxes: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
 
 
+def combine_mot(parts: Sequence[MotMetrics]) -> MotMetrics:
+    """Exact pooled CLEAR-MOT from independently evaluated parts.
+
+    Valid whenever the parts share no trajectories (per-(context, camera)
+    segments with interned ids — the `w2t eval` case): every CLEAR count is
+    additive, MOTP re-weights by matches, and IDF1's global trajectory
+    matching decomposes per part, so IDTP is recoverable from each part's
+    idf1 = 2*IDTP / (num_gt + num_matches + num_fp). Equality with
+    `evaluate_mot` on the concatenated frame list is unit-tested; this form
+    avoids the second full (Hungarian-per-frame) pass over the whole split.
+    """
+    if not parts:
+        return MotMetrics(0.0, 0.0, 0.0, 0, 0, 0, 0, 0, 0, 0, 0)
+    gt = sum(p.num_gt for p in parts)
+    matches = sum(p.num_matches for p in parts)
+    fp = sum(p.num_fp for p in parts)
+    fn = sum(p.num_fn for p in parts)
+    idsw = sum(p.num_idsw for p in parts)
+    idtp = sum(p.idf1 * (p.num_gt + p.num_matches + p.num_fp) / 2.0
+               for p in parts)
+    return MotMetrics(
+        mota=1.0 - (fn + fp + idsw) / max(gt, 1),
+        motp=(sum(p.motp * p.num_matches for p in parts) / max(matches, 1)),
+        idf1=2.0 * idtp / max(gt + matches + fp, 1),
+        num_frames=sum(p.num_frames for p in parts),
+        num_gt=gt,
+        num_matches=matches,
+        num_fp=fp,
+        num_fn=fn,
+        num_idsw=idsw,
+        mostly_tracked=sum(p.mostly_tracked for p in parts),
+        mostly_lost=sum(p.mostly_lost for p in parts),
+    )
+
+
 def evaluate_mot(
     gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
     hyp_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
