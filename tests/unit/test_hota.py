@@ -119,3 +119,54 @@ def test_global_alignment_prefers_consistent_id():
     assert abs(m.assa - 1.0) < 1e-12
     assert abs(m.deta - 10.0 / 11.0) < 1e-12
     assert abs(m.hota - np.sqrt(10.0 / 11.0)) < 1e-12
+
+
+def test_combine_hota_equals_concatenated_evaluation():
+    """combine_hota (pooled-from-counts, used by `w2t eval --hota` OVERALL)
+    must equal evaluate_hota on the concatenated frame list when parts
+    share no trajectory ids."""
+    import numpy as np
+    import pytest
+
+    from waymo_2d_tracking_tpu.eval.hota import combine_hota, evaluate_hota
+
+    rng = np.random.default_rng(5)
+
+    def rand_frames(n_frames, id_base, n_ids, drop=0.25, jitter=6.0,
+                    empty_hyp=False):
+        gt_frames, hyp_frames = [], []
+        tracks = {id_base + i: rng.uniform(0, 150, 2) for i in range(n_ids)}
+        for t in range(n_frames):
+            g_ids, g_boxes, h_ids, h_boxes = [], [], [], []
+            for tid, origin in tracks.items():
+                x, y = origin + t * 2.0
+                box = [x, y, x + 28, y + 36]
+                g_ids.append(tid)
+                g_boxes.append(box)
+                if not empty_hyp and rng.uniform() > drop:
+                    h_ids.append(tid + 50_000)
+                    h_boxes.append(
+                        list(np.asarray(box) + rng.uniform(-jitter, jitter, 4)))
+            gt_frames.append((np.array(g_ids, np.int64),
+                              np.array(g_boxes).reshape(-1, 4)))
+            hyp_frames.append((np.array(h_ids, np.int64),
+                               np.array(h_boxes).reshape(-1, 4)))
+        return gt_frames, hyp_frames
+
+    parts = [
+        rand_frames(20, 0, 5),
+        rand_frames(30, 100, 7, drop=0.4, jitter=10.0),
+        rand_frames(8, 200, 2, empty_hyp=True),   # FN-only part
+    ]
+    per_part = [evaluate_hota(g, h) for g, h in parts]
+    combined = combine_hota(per_part)
+    whole = evaluate_hota([f for g, _ in parts for f in g],
+                          [f for _, h in parts for f in h])
+    for field in ("hota", "deta", "assa", "loca", "hota_50"):
+        assert getattr(combined, field) == pytest.approx(
+            getattr(whole, field), abs=1e-12), field
+    for field in ("num_frames", "num_gt", "num_pred"):
+        assert getattr(combined, field) == getattr(whole, field), field
+    np.testing.assert_allclose(combined.counts, whole.counts, atol=1e-9)
+
+    assert combine_hota([]).num_gt == 0

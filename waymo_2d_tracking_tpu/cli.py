@@ -481,7 +481,7 @@ def cmd_eval(args):
     def _hota(gt_frames, hyp_frames):
         from waymo_2d_tracking_tpu.eval.hota import evaluate_hota
 
-        return evaluate_hota(gt_frames, hyp_frames).as_dict()
+        return evaluate_hota(gt_frames, hyp_frames)
 
     def _eval_rows(pred_rows, gt_rows, per_key: bool):
         """(per-(context,camera) rows if per_key, pooled row or None)."""
@@ -502,8 +502,7 @@ def cmd_eval(args):
             )
 
         agg = {}
-        mot_parts = []
-        all_gt_frames, all_hyp_frames = [], []   # pooled HOTA only
+        mot_parts, hota_parts = [], []
         # union of keys: predictions for (context, camera) pairs absent
         # from the GT file count as false positives, not silent drops
         for key in sorted(set(gt) | set(pred)):
@@ -522,29 +521,29 @@ def cmd_eval(args):
                 )
             m = evaluate_mot(gt_frames, hyp_frames, iou_threshold=args.iou)
             mot_parts.append(m)
+            hm = _hota(gt_frames, hyp_frames) if args.hota else None
+            if hm is not None:
+                hota_parts.append(hm)
             if per_key:
                 row = m.as_dict()
-                if args.hota:
-                    row.update(_hota(gt_frames, hyp_frames))
+                if hm is not None:
+                    row.update(hm.as_dict())
                 agg[f"{key[0]}/{key[1]}"] = row
-            if args.hota:
-                all_gt_frames.extend(gt_frames)
-                all_hyp_frames.extend(hyp_frames)
         # pooled metrics over the whole split (the one number to compare
         # against a reference val-sweep run): exact, because
         # segment-interned ids never collide across segments and the
-        # per-gt match carry can't cross a segment boundary — so the
-        # pooled CLEAR row combines from the per-key counts (combine_mot;
-        # equality with a concatenated re-run is unit-tested) instead of
-        # paying a second Hungarian-per-frame pass over the whole split.
-        # Pooled HOTA still runs on the concatenation: per-id association
-        # counts stay within segments, so the concatenated clip equals
-        # TrackEval's combined-sequence accumulation.
+        # per-gt match carry / per-id association counts can't cross a
+        # segment boundary — so both pooled rows combine from per-key
+        # counts (combine_mot / combine_hota, equality with concatenated
+        # re-runs unit-tested) instead of paying a second
+        # Hungarian-per-frame pass over the whole split.
         pooled = None
         if mot_parts and (not per_key or len(agg) > 1):
             pooled = combine_mot(mot_parts).as_dict()
             if args.hota:
-                pooled.update(_hota(all_gt_frames, all_hyp_frames))
+                from waymo_2d_tracking_tpu.eval.hota import combine_hota
+
+                pooled.update(combine_hota(hota_parts).as_dict())
         return agg, pooled
 
     pred_rows = subm.read_jsonl(args.pred)

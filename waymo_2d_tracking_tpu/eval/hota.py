@@ -48,15 +48,23 @@ class HotaMetrics:
     num_frames: int
     num_gt: int
     num_pred: int
+    # raw per-alpha accumulators (A, 5): tp, fn, fp, ass_sum, loc_sum —
+    # carried so combine_hota can pool sequences exactly (TrackEval's
+    # combined-sequence accumulation); excluded from as_dict
+    alphas: Tuple[float, ...] = ()
+    counts: "np.ndarray | None" = None
 
     def as_dict(self) -> Dict[str, float]:
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        d.pop("alphas")
+        d.pop("counts")
+        return d
 
 
 def _eval_alpha(
     gt_frames, hyp_frames, ious: List[np.ndarray], alpha: float,
-) -> Tuple[float, float, float, float]:
-    """One localization threshold -> (HOTA_a, DetA, AssA, LocA)."""
+) -> Tuple[float, float, float, float, float]:
+    """One localization threshold -> (tp, fn, fp, ass_sum, loc_sum)."""
     # pass 1: global alignment from potential matches
     pot: Dict[Tuple[int, int], int] = {}
     gt_count: Dict[int, int] = {}
@@ -111,18 +119,42 @@ def _eval_alpha(
 
     fn = total_gt - tp
     fp = total_pr - tp
-    deta = tp / max(tp + fn + fp, 1)
-    if tp == 0:
-        return 0.0, deta, 0.0, 0.0
     ass_sum = 0.0
     for gid, pid in tp_pairs:
         tpa = matched[(gid, pid)]
         fna = gt_count[gid] - tpa
         fpa = pr_count[pid] - tpa
         ass_sum += tpa / max(tpa + fna + fpa, 1)
-    assa = ass_sum / tp
-    loca = loc_sum / tp
-    return float(np.sqrt(deta * assa)), deta, assa, loca
+    return float(tp), float(fn), float(fp), ass_sum, loc_sum
+
+
+def _metrics_from_counts(
+    alphas: Sequence[float], counts: np.ndarray,
+    num_frames: int, num_gt: int, num_pred: int,
+) -> HotaMetrics:
+    """Per-alpha (tp, fn, fp, ass_sum, loc_sum) -> final HotaMetrics."""
+    tp, fn, fp, ass_sum, loc_sum = counts.T
+    detas = tp / np.maximum(tp + fn + fp, 1)
+    assas = np.where(tp > 0, ass_sum / np.maximum(tp, 1), 0.0)
+    locas = np.where(tp > 0, loc_sum / np.maximum(tp, 1), 0.0)
+    hotas = np.sqrt(detas * assas)
+    # LocA averaged only over alphas that had TPs
+    has_tp = tp > 0
+    alphas_arr = np.asarray(alphas)
+    i50 = int(np.argmin(np.abs(alphas_arr - 0.5)))
+    hota_50 = float(hotas[i50]) if abs(alphas_arr[i50] - 0.5) < 1e-6 else 0.0
+    return HotaMetrics(
+        hota=float(hotas.mean()),
+        deta=float(detas.mean()),
+        assa=float(assas.mean()),
+        loca=float(locas[has_tp].mean()) if has_tp.any() else 0.0,
+        hota_50=hota_50,
+        num_frames=num_frames,
+        num_gt=num_gt,
+        num_pred=num_pred,
+        alphas=tuple(float(a) for a in alphas),
+        counts=counts,
+    )
 
 
 def evaluate_hota(
@@ -149,23 +181,35 @@ def evaluate_hota(
         else:
             ious.append(np.zeros((len(gt_ids), len(hyp_ids))))
 
-    per_alpha = [_eval_alpha(gt_frames, hyp_frames, ious, a) for a in alphas]
-    hotas = np.array([p[0] for p in per_alpha])
-    detas = np.array([p[1] for p in per_alpha])
-    assas = np.array([p[2] for p in per_alpha])
-    locas = np.array([p[3] for p in per_alpha])
-    # LocA averaged only over alphas that had TPs (loca=0 means no TPs)
-    has_tp = locas > 0
-    alphas_arr = np.asarray(alphas)
-    i50 = int(np.argmin(np.abs(alphas_arr - 0.5)))
-    hota_50 = float(hotas[i50]) if abs(alphas_arr[i50] - 0.5) < 1e-6 else 0.0
-    return HotaMetrics(
-        hota=float(hotas.mean()),
-        deta=float(detas.mean()),
-        assa=float(assas.mean()),
-        loca=float(locas[has_tp].mean()) if has_tp.any() else 0.0,
-        hota_50=hota_50,
-        num_frames=len(gt_frames),
-        num_gt=num_gt,
-        num_pred=num_pred,
+    counts = np.array(
+        [_eval_alpha(gt_frames, hyp_frames, ious, a) for a in alphas]
+    ).reshape(len(alphas), 5)
+    return _metrics_from_counts(alphas, counts, len(gt_frames), num_gt,
+                                num_pred)
+
+
+def combine_hota(parts: Sequence[HotaMetrics]) -> HotaMetrics:
+    """Exact pooled HOTA from independently evaluated parts.
+
+    Valid whenever parts share no trajectory ids (per-(context, camera)
+    segments with interned ids): every per-alpha accumulator — TP/FN/FP,
+    the per-TP association-Jaccard sum, the per-TP IoU sum — is additive
+    because potential-match and matched counts never cross parts. This IS
+    TrackEval's combined-sequence accumulation; equality with a
+    concatenated re-run is unit-tested.
+    """
+    parts = [p for p in parts if p.counts is not None]
+    if not parts:
+        return HotaMetrics(0.0, 0.0, 0.0, 0.0, 0.0, 0, 0, 0,
+                           tuple(DEFAULT_ALPHAS),
+                           np.zeros((len(DEFAULT_ALPHAS), 5)))
+    alphas = parts[0].alphas
+    if any(p.alphas != alphas for p in parts):
+        raise ValueError("combine_hota: parts evaluated at different alphas")
+    return _metrics_from_counts(
+        alphas,
+        np.sum([p.counts for p in parts], axis=0),
+        num_frames=sum(p.num_frames for p in parts),
+        num_gt=sum(p.num_gt for p in parts),
+        num_pred=sum(p.num_pred for p in parts),
     )
