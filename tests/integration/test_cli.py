@@ -435,3 +435,31 @@ def test_doctor_reports_healthy_env(capsys):
     assert set(report["native"]) == {"jpeg_decoder", "tfrecord_scanner"}
     assert "headline" in report["presets"]
     assert report["optional_deps"]["flax"] is not None
+
+
+def test_eval_workers_matches_serial(tmp_path, capsys):
+    """--workers N (process pool per key) must produce the identical
+    report to the serial path."""
+    rng = np.random.default_rng(9)
+    pred, gt = [], []
+    for ctx in ("c0", "c1", "c2"):
+        for t in range(12):
+            for j in range(4):
+                box = rng.uniform(0, 100, 2)
+                box = [*box, box[0] + 20, box[1] + 25]
+                gt.append(subm.TrackRecord.from_xyxy(ctx, t, 1, f"g{j}", 1,
+                                                     box, 1.0))
+                if rng.uniform() > 0.2:
+                    jbox = list(np.asarray(box) + rng.uniform(-3, 3, 4))
+                    pred.append(subm.TrackRecord.from_xyxy(
+                        ctx, t, 1, f"p{j}", 1, jbox, 0.9))
+    p, g = str(tmp_path / "p.jsonl"), str(tmp_path / "g.jsonl")
+    subm.write_jsonl(p, pred)
+    subm.write_jsonl(g, gt)
+
+    cli.main(["eval", "--pred", p, "--gt", g, "--hota"])
+    serial = capsys.readouterr().out
+    cli.main(["eval", "--pred", p, "--gt", g, "--hota", "--workers", "2"])
+    parallel = capsys.readouterr().out
+    assert json.loads(serial) == json.loads(parallel)
+    assert "OVERALL" in json.loads(serial)

@@ -464,10 +464,25 @@ def cmd_interp(args):
     }))
 
 
+def _eval_key_worker(task):
+    """One (context, camera) evaluation — module-level so `w2t eval
+    --workers N` can dispatch it to a process pool (no jax imports)."""
+    key, gt_frames, hyp_frames, iou, hota = task
+    from waymo_2d_tracking_tpu.eval.mot import evaluate_mot
+
+    m = evaluate_mot(gt_frames, hyp_frames, iou_threshold=iou)
+    hm = None
+    if hota:
+        from waymo_2d_tracking_tpu.eval.hota import evaluate_hota
+
+        hm = evaluate_hota(gt_frames, hyp_frames)
+    return key, m, hm
+
+
 def cmd_eval(args):
     import numpy as np
 
-    from waymo_2d_tracking_tpu.eval.mot import combine_mot, evaluate_mot
+    from waymo_2d_tracking_tpu.eval.mot import combine_mot
     from waymo_2d_tracking_tpu.io_out import submission as subm
 
     def to_frames(rows):
@@ -477,11 +492,6 @@ def cmd_eval(args):
                 r.timestamp_micros, []
             ).append(r)
         return by_seg
-
-    def _hota(gt_frames, hyp_frames):
-        from waymo_2d_tracking_tpu.eval.hota import evaluate_hota
-
-        return evaluate_hota(gt_frames, hyp_frames)
 
     def _eval_rows(pred_rows, gt_rows, per_key: bool):
         """(per-(context,camera) rows if per_key, pooled row or None)."""
@@ -505,6 +515,7 @@ def cmd_eval(args):
         mot_parts, hota_parts = [], []
         # union of keys: predictions for (context, camera) pairs absent
         # from the GT file count as false positives, not silent drops
+        tasks = []
         for key in sorted(set(gt) | set(pred)):
             stamps = sorted(set(gt.get(key, {})) | set(pred.get(key, {})))
             gt_frames, hyp_frames = [], []
@@ -519,9 +530,22 @@ def cmd_eval(args):
                     (_ids(key, h),
                      np.array([r.to_xyxy() for r in h]).reshape(-1, 4))
                 )
-            m = evaluate_mot(gt_frames, hyp_frames, iou_threshold=args.iou)
+            tasks.append((key, gt_frames, hyp_frames, args.iou,
+                          bool(args.hota)))
+        # keys are independent -> fan per-(context, camera) evaluation
+        # across processes on multi-core hosts (a full val sweep is
+        # ~1000 keys of Hungarian-per-frame work; the eval children never
+        # import jax). Serial when workers <= 1.
+        workers = getattr(args, "workers", 0) or 0
+        if workers > 1 and len(tasks) > 1:
+            from concurrent.futures import ProcessPoolExecutor
+
+            with ProcessPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(_eval_key_worker, tasks))
+        else:
+            results = [_eval_key_worker(t) for t in tasks]
+        for key, m, hm in results:
             mot_parts.append(m)
-            hm = _hota(gt_frames, hyp_frames) if args.hota else None
             if hm is not None:
                 hota_parts.append(hm)
             if per_key:
@@ -925,6 +949,10 @@ def build_parser():
                     help="additionally report pooled metrics per Waymo "
                          "object type (CLASS_VEHICLE/PEDESTRIAN/CYCLIST "
                          "rows) — Waymo scores classes separately")
+    sp.add_argument("--workers", type=int, default=0,
+                    help="process-pool size for per-(context,camera) "
+                         "evaluation (val sweeps on multi-core hosts); "
+                         "0/1 = serial")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("eval-det",
