@@ -649,9 +649,26 @@ def cmd_train(args):
                 )
 
         data = synth()
+    val_batches = None
+    if args.val_every:
+        if args.val_dir:
+            from waymo_2d_tracking_tpu.data.coco import coco_batch_iterator
+
+            val_iter = coco_batch_iterator(
+                args.val_dir, cfg.train.batch_size, cfg.detector.image_size,
+                flip_augment=False, scale_range=(1.0, 1.0),
+                color_jitter=0.0, num_workers=0, prefetch_depth=0,
+            )
+        else:
+            # held-out synthetic batches from a seed train never sees
+            val_rng = np.random.default_rng(args.seed + 10_000)
+            val_iter = iter(lambda: render_detection_batch(
+                val_rng, cfg.train.batch_size, cfg.detector.image_size), None)
+        val_batches = [next(val_iter) for _ in range(args.val_batches)]
     state = train_loop(
         trainer, data, num_steps=args.steps or cfg.train.total_steps,
         checkpoint_every=cfg.train.checkpoint_every,
+        val_batches=val_batches, val_every=args.val_every,
     )
     trainer.save_checkpoint(state)
     # serving artifact: inference variables (EMA params when enabled) under
@@ -967,6 +984,16 @@ def build_parser():
     sp.add_argument("--data-dir", default=None, help="COCO-converted data")
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--sharded", action="store_true")
+    sp.add_argument("--val-every", type=int, default=0, dest="val_every",
+                    help="run held-out detection-AP validation every N "
+                         "steps; best-mAP state saved to "
+                         "<checkpoint_dir>/best (0 disables)")
+    sp.add_argument("--val-dir", default=None, dest="val_dir",
+                    help="COCO-converted validation data (defaults to "
+                         "held-out synthetic batches)")
+    sp.add_argument("--val-batches", type=int, default=4,
+                    dest="val_batches",
+                    help="number of fixed validation batches")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("link",

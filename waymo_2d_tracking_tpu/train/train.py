@@ -171,16 +171,17 @@ class DetectorTrainer:
 
     # ------------------------------------------------------------ checkpoint
 
-    def save_checkpoint(self, state: TrainState, path: Optional[str] = None):
+    def save_checkpoint(self, state: TrainState, path: Optional[str] = None,
+                        exact_path: bool = False):
+        """Save under <path>/step_N, or exactly at <path> (exact_path=True —
+        used for the replace-in-place <checkpoint_dir>/best artifact)."""
         import orbax.checkpoint as ocp
 
         path = path or self.cfg.train.checkpoint_dir
+        if not exact_path:
+            path = f"{path}/step_{int(state.step)}"
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            f"{path}/step_{int(state.step)}",
-            jax.device_get(state),
-            force=True,
-        )
+        ckptr.save(path, jax.device_get(state), force=True)
         ckptr.wait_until_finished()
 
     def restore_checkpoint(self, path: str, template: TrainState) -> TrainState:
@@ -207,6 +208,48 @@ class DetectorTrainer:
             ) from e
 
 
+def evaluate_detector(
+    trainer: DetectorTrainer,
+    state: TrainState,
+    val_batches,
+    runner=None,
+) -> Dict[str, float]:
+    """Held-out detection AP with the eval (EMA when enabled) variables.
+
+    val_batches: iterable of train-format batches (images/gt_boxes/
+    gt_classes/gt_valid) — typically a small materialized list so repeated
+    evaluations see the same data. Returns eval/ap.evaluate_detections'
+    summary (mAP/AP50/AP75/per-class).
+    """
+    import numpy as np
+
+    from waymo_2d_tracking_tpu.eval.ap import evaluate_detections
+
+    if runner is None:
+        from waymo_2d_tracking_tpu.models.detector import DetectorRunner
+
+        runner = DetectorRunner(trainer.cfg.detector)
+    variables = jax.device_get(trainer.eval_variables(state))
+    preds, gts = [], []
+    for bi, batch in enumerate(val_batches):
+        dets = runner.detect(variables, batch["images"])
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        classes = np.asarray(dets.classes)
+        valid = np.asarray(dets.valid).astype(bool)
+        gt_boxes = np.asarray(batch["gt_boxes"])
+        gt_classes = np.asarray(batch["gt_classes"])
+        gt_valid = np.asarray(batch["gt_valid"]).astype(bool)
+        for n in range(boxes.shape[0]):
+            key = (bi, n)
+            v = valid[n]
+            preds.append((key, boxes[n][v], scores[n][v], classes[n][v]))
+            g = gt_valid[n]
+            gts.append((key, gt_boxes[n][g], gt_classes[n][g]))
+    return evaluate_detections(preds, gts,
+                               num_classes=trainer.cfg.detector.num_classes)
+
+
 def train_loop(
     trainer: DetectorTrainer,
     data_iter,
@@ -215,10 +258,23 @@ def train_loop(
     log_every: int = 50,
     checkpoint_every: Optional[int] = None,
     log_fn=print,
+    val_batches=None,
+    val_every: Optional[int] = None,
+    save_best: bool = True,
 ):
-    """Simple host loop: one dispatch per step, periodic logging/checkpoint."""
+    """Simple host loop: one dispatch per step, periodic logging/checkpoint.
+
+    When val_batches (+ val_every) is given, runs a held-out detection-AP
+    evaluation every val_every steps (and at the end); with save_best, the
+    best-mAP state is checkpointed to <checkpoint_dir>/best — the model-
+    selection artifact `w2t detect/track --params` can load directly.
+    """
+    import os
+
     if state is None:
         state = trainer.create_state(jax.random.PRNGKey(0))
+    best_map = float("-inf")
+    runner = None
     for _ in range(num_steps):
         batch = next(data_iter)
         state, metrics = trainer.train_step(state, batch)
@@ -228,4 +284,22 @@ def train_loop(
             log_fn(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
         if checkpoint_every and step % checkpoint_every == 0:
             trainer.save_checkpoint(state)
+        if (val_batches is not None and val_every
+                and (step % val_every == 0 or step == num_steps)):
+            if runner is None:
+                from waymo_2d_tracking_tpu.models.detector import (
+                    DetectorRunner,
+                )
+
+                runner = DetectorRunner(trainer.cfg.detector)
+            res = evaluate_detector(trainer, state, val_batches,
+                                    runner=runner)
+            log_fn(f"step {step}: val " + " ".join(
+                f"{k}={v:.4f}" for k, v in sorted(res.items())))
+            if save_best and res.get("mAP", float("nan")) > best_map:
+                best_map = res["mAP"]
+                trainer.save_checkpoint(
+                    state,
+                    os.path.join(trainer.cfg.train.checkpoint_dir, "best"),
+                    exact_path=True)
     return state
