@@ -170,3 +170,21 @@ def test_combine_hota_equals_concatenated_evaluation():
     np.testing.assert_allclose(combined.counts, whole.counts, atol=1e-9)
 
     assert combine_hota([]).num_gt == 0
+
+
+def test_hota_metrics_eq_and_counts_guard():
+    import dataclasses
+
+    import numpy as np
+    import pytest
+
+    from waymo_2d_tracking_tpu.eval.hota import combine_hota, evaluate_hota
+
+    g = [(np.array([1]), np.array([[0.0, 0.0, 10.0, 10.0]]))]
+    a = evaluate_hota(g, g)
+    b = evaluate_hota(g, g)
+    assert a == b  # ndarray counts field must not break dataclass __eq__
+
+    stripped = dataclasses.replace(a, counts=None)
+    with pytest.raises(ValueError):
+        combine_hota([a, stripped])

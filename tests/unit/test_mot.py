@@ -170,3 +170,9 @@ def test_combine_mot_equals_concatenated_evaluation():
         assert abs(getattr(combined, field) - getattr(whole, field)) < 1e-9, field
 
     assert combine_mot([]).num_frames == 0
+
+
+def test_combine_mot_empty_matches_evaluate_mot_empty():
+    from waymo_2d_tracking_tpu.eval.mot import combine_mot, evaluate_mot
+
+    assert combine_mot([]).as_dict() == evaluate_mot([], []).as_dict()

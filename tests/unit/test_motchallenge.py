@@ -51,6 +51,40 @@ def test_round_trip_preserves_boxes_frames_identity(tmp_path):
     for r in back:
         ids.setdefault(r.object_id, []).append(r.timestamp_micros)
     assert sorted(len(v) for v in ids.values()) == [1, 1, 2]
+    # object types survive the round trip (class column emitted + honored)
+    assert ([r.object_type for r in back]
+            == [TYPE_PEDESTRIAN, TYPE_VEHICLE, TYPE_PEDESTRIAN,
+                TYPE_CYCLIST])
+
+
+def test_export_frame_numbers_are_rank_based(tmp_path):
+    """Any timestamp convention (frame indices, epoch micros with jitter)
+    must export to ordered, collision-free 1-based MOT frames."""
+    recs = [
+        TrackRecord.from_xyxy("s", ts, 1, "a", TYPE_PEDESTRIAN,
+                              (0, 0, 10, 10), 0.9)
+        for ts in (0, 1, 2)          # frame-index-style timestamps
+    ]
+    write_mot(recs, str(tmp_path))
+    lines = (tmp_path / "s.txt").read_text().splitlines()
+    assert [int(l.split(",")[0]) for l in lines] == [1, 2, 3]
+
+    back, _ = read_mot(str(tmp_path / "s.txt"))
+    assert [r.timestamp_micros for r in back] == [
+        FRAME_PERIOD_US, 2 * FRAME_PERIOD_US, 3 * FRAME_PERIOD_US]
+
+
+def test_result_import_ignores_world_coordinate_column(tmp_path):
+    # third-party result files carry world-X in column 8 (floats / -1):
+    # never interpret those as a class
+    p = tmp_path / "r.txt"
+    p.write_text("1,1,0,0,10,10,0.9,-1,-1,-1\n"
+                 "1,2,20,0,10,10,0.9,3.7,1.2,-1\n"
+                 "1,3,40,0,10,10,0.9,3,-1,-1\n")
+    recs, _ = read_mot(str(p))
+    assert recs[0].object_type == TYPE_PEDESTRIAN   # -1 -> default
+    assert recs[1].object_type == TYPE_PEDESTRIAN   # 3.7 is a coordinate
+    assert recs[2].object_type == TYPE_VEHICLE      # integral class 3
 
 
 def test_multi_camera_context_gets_per_camera_files(tmp_path):
@@ -140,3 +174,16 @@ def test_cli_import_eval_export_chain(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["files"] == {"MOT-seq.txt": 4}
     assert os.path.isfile(os.path.join(out_dir, "MOT-seq.txt"))
+
+
+def test_import_mot_context_rejected_for_directories(tmp_path):
+    import pytest as _pytest
+
+    from waymo_2d_tracking_tpu import cli
+
+    d = tmp_path / "seqs"
+    d.mkdir()
+    (d / "a.txt").write_text("1,1,0,0,10,10,0.9\n")
+    with _pytest.raises(SystemExit):
+        cli.main(["import-mot", str(d), "--out", str(tmp_path / "o.jsonl"),
+                  "--context", "X"])

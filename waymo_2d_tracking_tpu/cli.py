@@ -398,7 +398,11 @@ def cmd_import_mot(args):
         read_mot_tree,
     )
 
-    if args.context and os.path.isfile(args.input):
+    if args.context:
+        if not os.path.isfile(args.input):
+            raise SystemExit(
+                "import-mot: --context applies to a single-file input; "
+                "directory inputs name each sequence by its own file/dir")
         records, stats = read_mot(args.input, context_name=args.context,
                                   gt=args.gt, camera_name=args.camera)
     else:
@@ -535,13 +539,10 @@ def cmd_eval(args):
         # keys are independent -> fan per-(context, camera) evaluation
         # across processes on multi-core hosts (a full val sweep is
         # ~1000 keys of Hungarian-per-frame work; the eval children never
-        # import jax). Serial when workers <= 1.
-        workers = getattr(args, "workers", 0) or 0
-        if workers > 1 and len(tasks) > 1:
-            from concurrent.futures import ProcessPoolExecutor
-
-            with ProcessPoolExecutor(max_workers=workers) as pool:
-                results = list(pool.map(_eval_key_worker, tasks))
+        # import jax). One pool per invocation, shared by the main and
+        # per-class passes. Serial when workers <= 1.
+        if pool is not None and len(tasks) > 1:
+            results = list(pool.map(_eval_key_worker, tasks))
         else:
             results = [_eval_key_worker(t) for t in tasks]
         for key, m, hm in results:
@@ -572,23 +573,33 @@ def cmd_eval(args):
 
     pred_rows = subm.read_jsonl(args.pred)
     gt_rows = subm.read_jsonl(args.gt)
-    agg, pooled = _eval_rows(pred_rows, gt_rows, per_key=True)
-    if pooled is not None:
-        agg["OVERALL"] = pooled
-    if args.per_class:
-        # Waymo scores classes separately (label.type); a prediction of
-        # the wrong type never matches the GT it overlaps
-        names = subm.WAYMO_TYPE_NAMES
-        types = sorted({r.object_type for r in gt_rows}
-                       | {r.object_type for r in pred_rows})
-        for t in types:
-            _, pooled_c = _eval_rows(
-                [r for r in pred_rows if r.object_type == t],
-                [r for r in gt_rows if r.object_type == t],
-                per_key=False,
-            )
-            if pooled_c is not None:
-                agg[f"CLASS_{names.get(t, t)}"] = pooled_c
+    workers = getattr(args, "workers", 0) or 0
+    pool = None
+    if workers > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        pool = ProcessPoolExecutor(max_workers=workers)
+    try:
+        agg, pooled = _eval_rows(pred_rows, gt_rows, per_key=True)
+        if pooled is not None:
+            agg["OVERALL"] = pooled
+        if args.per_class:
+            # Waymo scores classes separately (label.type); a prediction of
+            # the wrong type never matches the GT it overlaps
+            names = subm.WAYMO_TYPE_NAMES
+            types = sorted({r.object_type for r in gt_rows}
+                           | {r.object_type for r in pred_rows})
+            for t in types:
+                _, pooled_c = _eval_rows(
+                    [r for r in pred_rows if r.object_type == t],
+                    [r for r in gt_rows if r.object_type == t],
+                    per_key=False,
+                )
+                if pooled_c is not None:
+                    agg[f"CLASS_{names.get(t, t)}"] = pooled_c
+    finally:
+        if pool is not None:
+            pool.shutdown()
     print(json.dumps(agg, indent=2))
 
 
@@ -659,12 +670,15 @@ def cmd_train(args):
                 flip_augment=False, scale_range=(1.0, 1.0),
                 color_jitter=0.0, num_workers=0, prefetch_depth=0,
             )
+            val_batches = [next(val_iter) for _ in range(args.val_batches)]
         else:
             # held-out synthetic batches from a seed train never sees
             val_rng = np.random.default_rng(args.seed + 10_000)
-            val_iter = iter(lambda: render_detection_batch(
-                val_rng, cfg.train.batch_size, cfg.detector.image_size), None)
-        val_batches = [next(val_iter) for _ in range(args.val_batches)]
+            val_batches = [
+                render_detection_batch(val_rng, cfg.train.batch_size,
+                                       cfg.detector.image_size)
+                for _ in range(args.val_batches)
+            ]
     state = train_loop(
         trainer, data, num_steps=args.steps or cfg.train.total_steps,
         checkpoint_every=cfg.train.checkpoint_every,

@@ -50,9 +50,11 @@ class HotaMetrics:
     num_pred: int
     # raw per-alpha accumulators (A, 5): tp, fn, fp, ass_sum, loc_sum —
     # carried so combine_hota can pool sequences exactly (TrackEval's
-    # combined-sequence accumulation); excluded from as_dict
+    # combined-sequence accumulation); excluded from as_dict and from the
+    # dataclass __eq__ (ndarray equality is elementwise and would raise)
     alphas: Tuple[float, ...] = ()
-    counts: "np.ndarray | None" = None
+    counts: "np.ndarray | None" = dataclasses.field(default=None,
+                                                    compare=False)
 
     def as_dict(self) -> Dict[str, float]:
         d = dataclasses.asdict(self)
@@ -198,11 +200,15 @@ def combine_hota(parts: Sequence[HotaMetrics]) -> HotaMetrics:
     TrackEval's combined-sequence accumulation; equality with a
     concatenated re-run is unit-tested.
     """
-    parts = [p for p in parts if p.counts is not None]
     if not parts:
-        return HotaMetrics(0.0, 0.0, 0.0, 0.0, 0.0, 0, 0, 0,
-                           tuple(DEFAULT_ALPHAS),
-                           np.zeros((len(DEFAULT_ALPHAS), 5)))
+        return _metrics_from_counts(DEFAULT_ALPHAS,
+                                    np.zeros((len(DEFAULT_ALPHAS), 5)),
+                                    0, 0, 0)
+    if any(p.counts is None for p in parts):
+        raise ValueError(
+            "combine_hota: a part carries no per-alpha counts (was it "
+            "rebuilt from as_dict output?) — pooling it would silently "
+            "undercount; re-run evaluate_hota for that sequence")
     alphas = parts[0].alphas
     if any(p.alphas != alphas for p in parts):
         raise ValueError("combine_hota: parts evaluated at different alphas")

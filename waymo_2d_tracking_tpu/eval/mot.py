@@ -98,8 +98,6 @@ def combine_mot(parts: Sequence[MotMetrics]) -> MotMetrics:
     `evaluate_mot` on the concatenated frame list is unit-tested; this form
     avoids the second full (Hungarian-per-frame) pass over the whole split.
     """
-    if not parts:
-        return MotMetrics(0.0, 0.0, 0.0, 0, 0, 0, 0, 0, 0, 0, 0)
     gt = sum(p.num_gt for p in parts)
     matches = sum(p.num_matches for p in parts)
     fp = sum(p.num_fp for p in parts)

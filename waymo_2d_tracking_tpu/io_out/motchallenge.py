@@ -71,12 +71,6 @@ def frame_to_timestamp(frame: int) -> int:
     return int(frame) * FRAME_PERIOD_US
 
 
-def timestamp_to_frame(timestamp_micros: int) -> int:
-    # exact for timestamps we produced; for foreign timestamps, snap to the
-    # nearest 10 Hz tick so ordering survives jitter
-    return max(1, round(int(timestamp_micros) / FRAME_PERIOD_US))
-
-
 def read_mot(
     path: str,
     context_name: str | None = None,
@@ -118,7 +112,14 @@ def read_mot(
                     continue
                 score = 1.0
             else:
-                otype = default_type
+                # result/det files: honor a mappable class column when
+                # present (write_mot emits one), so an export -> import
+                # round trip preserves object types. Guard: third-party
+                # result files put world-X here (-1, or a float in 3D
+                # sets) — only integral values in class range count.
+                raw = float(parts[7]) if len(parts) > 7 else -1.0
+                cls = int(raw) if raw == int(raw) and 1 <= raw <= 12 else -1
+                otype = MOT_CLASS_TO_TYPE.get(cls, default_type)
                 score = conf
             if tid < 0:
                 object_id = f"det_{det_n}"
@@ -185,7 +186,10 @@ def write_mot(
     File name: ``<context>.txt`` when the context appears with a single
     camera (the MOT norm), else ``<context>_cam<k>.txt``. Returns
     {filename: line count}. Track ids are re-issued as dense positive
-    integers per sequence (MOT requires ints; ours are strings).
+    integers per sequence (MOT requires ints; ours are strings), and frame
+    numbers by RANK of the sequence's sorted unique timestamps (1-based) —
+    order-preserving and collision-free for any timestamp convention
+    (frame indices, 10 Hz ticks, or real Waymo epoch micros with jitter).
     """
     by_key: Dict[Tuple[str, int], List[TrackRecord]] = {}
     for r in records:
@@ -200,12 +204,14 @@ def write_mot(
             else f"{ctx}_cam{cam}.txt"
         ids: Dict[str, int] = {}
         rows.sort(key=lambda r: (r.timestamp_micros, r.object_id))
+        frame_of = {ts: i + 1 for i, ts in enumerate(
+            sorted({r.timestamp_micros for r in rows}))}
         with open(os.path.join(out_dir, name), "w") as f:
             for r in rows:
                 x1, y1, x2, y2 = r.to_xyxy()
                 tid = ids.setdefault(r.object_id, len(ids) + 1)
                 f.write(
-                    f"{timestamp_to_frame(r.timestamp_micros)},{tid},"
+                    f"{frame_of[r.timestamp_micros]},{tid},"
                     f"{x1:.2f},{y1:.2f},{x2 - x1:.2f},{y2 - y1:.2f},"
                     f"{r.score:.4f},{_TYPE_TO_MOT_CLASS.get(r.object_type, -1)},-1\n"
                 )

@@ -275,17 +275,20 @@ def train_loop(
         state = trainer.create_state(jax.random.PRNGKey(0))
     best_map = float("-inf")
     runner = None
-    for _ in range(num_steps):
+    for i in range(num_steps):
         batch = next(data_iter)
         state, metrics = trainer.train_step(state, batch)
         step = int(state.step)
-        if step % log_every == 0 or step == num_steps:
+        # state.step is absolute and survives restore; "end of training" is
+        # the relative loop position, not step == num_steps
+        is_last = i == num_steps - 1
+        if step % log_every == 0 or is_last:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             log_fn(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
         if checkpoint_every and step % checkpoint_every == 0:
             trainer.save_checkpoint(state)
         if (val_batches is not None and val_every
-                and (step % val_every == 0 or step == num_steps)):
+                and (step % val_every == 0 or is_last)):
             if runner is None:
                 from waymo_2d_tracking_tpu.models.detector import (
                     DetectorRunner,
