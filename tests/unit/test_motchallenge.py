@@ -187,3 +187,10 @@ def test_import_mot_context_rejected_for_directories(tmp_path):
     with _pytest.raises(SystemExit):
         cli.main(["import-mot", str(d), "--out", str(tmp_path / "o.jsonl"),
                   "--context", "X"])
+
+
+def test_malformed_line_reports_file_and_lineno(tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("1,1,0,0,10,10,0.9\nnot-a-mot-line\n")
+    with pytest.raises(ValueError, match=r"bad\.txt:2"):
+        read_mot(str(p))

@@ -92,14 +92,19 @@ def read_mot(
     stats = MotImportStats()
     det_n = 0
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
             parts = line.replace(" ", ",").split(",")
             parts = [p for p in parts if p != ""]
-            frame, tid = int(float(parts[0])), int(float(parts[1]))
-            left, top, w, h = (float(v) for v in parts[2:6])
+            try:
+                frame, tid = int(float(parts[0])), int(float(parts[1]))
+                left, top, w, h = (float(v) for v in parts[2:6])
+            except (ValueError, IndexError) as e:
+                raise ValueError(
+                    f"{path}:{lineno}: not a MOT line (need "
+                    f"frame,id,left,top,w,h[,conf,...]): {line!r}") from e
             conf = float(parts[6]) if len(parts) > 6 else 1.0
             if gt:
                 if conf == 0:
