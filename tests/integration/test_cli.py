@@ -296,6 +296,21 @@ def test_draw_renders_frames(tmp_path, capsys):
     # boxes were drawn: annotated image differs from the flat source
     assert img is not None and img.std() > 5.0
 
+    # --video additionally encodes the annotated frames to one file
+    video = str(tmp_path / "demo.avi")   # MJPG: always-available codec
+    cli.main(["draw", "--tracks", tracks, "--segments-dir", data,
+              "--out-dir", str(tmp_path / "viz2"), "--video", video])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["videos"] == [video]
+    cap = cv2.VideoCapture(video)
+    try:
+        assert cap.isOpened()
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
+        ok, vframe = cap.read()
+        assert ok and vframe.std() > 5.0
+    finally:
+        cap.release()
+
 
 def test_eval_det_cli(detections_file, tmp_path, capsys):
     """eval-det: detections JSONL scored against a GT JSONL via COCO AP."""

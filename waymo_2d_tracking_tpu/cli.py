@@ -721,10 +721,24 @@ def cmd_draw(args):
     cfg = _load_config(args)
     records = subm.read_jsonl(args.tracks)
     total = 0
-    for seg in iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras):
+    videos = []
+    stem, ext = os.path.splitext(args.video) if args.video else (None, None)
+    for i, seg in enumerate(
+            iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras)):
+        video_path = None
+        if args.video:
+            # first segment gets the requested path; further segments get
+            # context/camera-suffixed siblings
+            video_path = (args.video if i == 0 else
+                          f"{stem}_{seg.context_name}_{seg.camera_name}{ext}")
+            videos.append(video_path)
         total += render_segment(seg, records, args.out_dir,
-                                max_frames=args.max_frames)
-    print(json.dumps({"frames": total, "out": args.out_dir}))
+                                max_frames=args.max_frames,
+                                video_path=video_path, fps=args.fps)
+    out = {"frames": total, "out": args.out_dir}
+    if videos:
+        out["videos"] = videos
+    print(json.dumps(out))
 
 
 def cmd_import_weights(args):
@@ -1027,6 +1041,12 @@ def build_parser():
     sp.add_argument("--segments-dir", required=True)
     sp.add_argument("--out-dir", default="viz")
     sp.add_argument("--max-frames", type=int, default=None)
+    sp.add_argument("--video", default=None,
+                    help="also encode the annotated frames to this video "
+                         "file (.mp4/.avi; one per segment — later "
+                         "segments get context/camera-suffixed names)")
+    sp.add_argument("--fps", type=float, default=10.0,
+                    help="video frame rate (Waymo cameras are 10 Hz)")
     sp.set_defaults(fn=cmd_draw)
 
     sp = sub.add_parser("import-weights",

@@ -55,11 +55,19 @@ def render_segment(
     records: List,                       # TrackRecords (any order)
     out_dir: str,
     max_frames: Optional[int] = None,
+    video_path: Optional[str] = None,
+    fps: float = 10.0,
 ) -> int:
-    """Draw every frame of one (segment, camera); returns frames written."""
+    """Draw every frame of one (segment, camera); returns frames written.
+
+    video_path: additionally (or, with out_dir=None, instead) encode the
+    annotated frames into one video file (container by extension; mp4
+    default codec) at ``fps`` — the shareable demo artifact.
+    """
     import cv2
 
-    os.makedirs(out_dir, exist_ok=True)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     by_ts: Dict[int, List] = {}
     for r in records:
         if (r.context_name, r.camera_name) == (
@@ -68,6 +76,7 @@ def render_segment(
             by_ts.setdefault(r.timestamp_micros, []).append(r)
 
     n = 0
+    writer = None
     it = segment.chunk_iter(1)
     try:
         for t, ts in enumerate(segment.timestamps):
@@ -75,9 +84,26 @@ def render_segment(
                 break
             frame = next(it)[0]
             img = draw_frame(frame, by_ts.get(ts, []))
-            name = f"{segment.context_name}_{segment.camera_name}_{t:05d}.jpg"
-            cv2.imwrite(os.path.join(out_dir, name), img)
+            if out_dir:
+                name = (f"{segment.context_name}_{segment.camera_name}"
+                        f"_{t:05d}.jpg")
+                cv2.imwrite(os.path.join(out_dir, name), img)
+            if video_path:
+                if writer is None:
+                    fourcc = cv2.VideoWriter_fourcc(
+                        *("mp4v" if video_path.endswith(".mp4") else "MJPG"))
+                    writer = cv2.VideoWriter(
+                        video_path, fourcc, fps,
+                        (img.shape[1], img.shape[0]))
+                    if not writer.isOpened():
+                        raise RuntimeError(
+                            f"cv2.VideoWriter could not open {video_path!r} "
+                            "(codec unavailable?) — use a .avi extension "
+                            "for the MJPG fallback")
+                writer.write(img)
             n += 1
     finally:
         it.close()
+        if writer is not None:
+            writer.release()
     return n
