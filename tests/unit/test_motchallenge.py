@@ -194,3 +194,36 @@ def test_malformed_line_reports_file_and_lineno(tmp_path):
     p.write_text("1,1,0,0,10,10,0.9\nnot-a-mot-line\n")
     with pytest.raises(ValueError, match=r"bad\.txt:2"):
         read_mot(str(p))
+
+
+def test_mot_detections_to_tracker_chain(tmp_path, capsys):
+    """The SORT-paper setup end-to-end: MOT det.txt (id=-1 public
+    detections) -> import-mot -> track --from-detections -> export-mot.
+    Three noisy moving objects must come back as exactly three track ids."""
+    rng = np.random.default_rng(0)
+    lines = []
+    for t in range(1, 41):
+        for k in range(3):
+            x = 20 + 40 * k + 2.0 * t + rng.uniform(-1, 1)
+            y = 30 + 30 * k + rng.uniform(-1, 1)
+            lines.append(
+                f"{t},-1,{x:.1f},{y:.1f},25,35,{rng.uniform(0.7, 0.95):.2f}")
+    (tmp_path / "det.txt").write_text("\n".join(lines) + "\n")
+
+    from waymo_2d_tracking_tpu import cli
+
+    dets = str(tmp_path / "dets.jsonl")
+    tracks = str(tmp_path / "tracks.jsonl")
+    cli.main(["import-mot", str(tmp_path / "det.txt"), "--out", dets,
+              "--context", "MOT-X"])
+    cli.main(["track", "--from-detections", dets, "--out", tracks,
+              "--config", "configs/config1_tracker_cpu.yaml"])
+    out_dir = str(tmp_path / "mot_out")
+    cli.main(["export-mot", tracks, "--out-dir", out_dir])
+    capsys.readouterr()
+
+    res = (tmp_path / "mot_out" / "MOT-X.txt").read_text().splitlines()
+    assert len(res) == 120
+    assert {l.split(",")[1] for l in res} == {"1", "2", "3"}
+    frames = [int(l.split(",")[0]) for l in res]
+    assert min(frames) == 1 and max(frames) == 40
