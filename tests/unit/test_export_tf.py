@@ -71,3 +71,27 @@ def test_cli_export_savedmodel_random_init(tmp_path, capsys):
     images = np.zeros((1, 64, 96, 3), np.float32)
     got = load_and_run(out, images)
     assert got["boxes"].shape[0] == 1 and got["valid"].dtype == np.bool_
+
+
+def test_savedmodel_centernet_head_family(tmp_path):
+    """Both head families export: centernet decode path serializes too."""
+    from waymo_2d_tracking_tpu.io_out.export_tf import (
+        export_savedmodel,
+        load_and_run,
+    )
+
+    det = DetectorConfig(
+        backbone="resnet18slim", image_size=(64, 96), fpn_channels=32,
+        head_depth=1, embed_dim=16, dtype="float32",
+        head_family="centernet",
+    )
+    runner = DetectorRunner(det)
+    variables = runner.init_params(jax.random.PRNGKey(0))
+    images = np.random.default_rng(1).uniform(
+        0, 1, (1, 64, 96, 3)).astype(np.float32)
+    export_savedmodel(det, variables, str(tmp_path / "sm"), batch_size=1)
+    got = load_and_run(str(tmp_path / "sm"), images)
+    want = runner.detect(variables, images)
+    np.testing.assert_allclose(got["boxes"], np.asarray(want.boxes),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(got["valid"], np.asarray(want.valid))
