@@ -131,7 +131,7 @@ def test_sharded_grouping_by_resolution_lazy_and_fault_injection(tmp_path, monke
         def __init__(self, pipeline, mesh):
             pass
 
-        def run_group(self, group, out_dir):
+        def run_group(self, group, out_dir, detections_only=False):
             groups_run.append([(s.context_name, s.frames.shape[1:3]) for s in group])
             return [
                 {"context": s.context_name, "camera": s.camera_name,
@@ -176,3 +176,24 @@ def test_sharded_grouping_by_resolution_lazy_and_fault_injection(tmp_path, monke
     with open(out2 + "/manifest.jsonl") as f:
         done = [_json.loads(l)["key"] for l in f if l.strip()]
     assert len(done) == 2   # the first full group committed before the stop
+
+
+@pytest.mark.slow
+def test_sharded_detect_matches_single_device(pipeline, tmp_path):
+    """`w2t detect --sharded` parity: stateless detect fan-out produces the
+    same per-segment detections as run_segment(detections_only=True)."""
+    segs = [make_segment(f"dseg{i}", t=6 if i % 2 else 9, seed=100 + i)
+            for i in range(9)]
+    out_dir = str(tmp_path / "det_shd")
+    stats = run_segments_sharded(pipeline, segs, out_dir,
+                                 detections_only=True)
+    assert len(stats) == 9
+
+    for seg in segs:
+        ref, _ = pipeline.run_segment(seg, detections_only=True)
+        fname = f"{seg.context_name}_{seg.camera_name}.jsonl"
+        shd = subm.read_jsonl(os.path.join(out_dir, fname))
+        assert shd == ref, f"{fname}: sharded detect != single-device"
+        # stateless path writes no gallery sidecars
+        assert not os.path.exists(
+            os.path.join(out_dir, fname[:-6] + ".gallery.npz"))

@@ -208,6 +208,20 @@ def test_detect_cli_on_directory_segments(tmp_path, capsys):
     assert {r.timestamp_micros for r in recs} <= {0, 100, 200, 300}
     assert all(r.object_id.startswith("det_") for r in recs)
 
+    # --sharded: same detections via the mesh fan-out, merged into --out
+    out2 = str(tmp_path / "dets_shd.jsonl")
+    cli.main([
+        "detect", "--segments-dir", str(tmp_path / "segs"), "--out", out2,
+        "--sharded",
+        "--set", "detector.backbone=resnet18slim", "detector.image_size=[64,96]",
+        "detector.fpn_channels=32", "detector.head_depth=1",
+        "detector.pre_nms_topk=32", "detector.max_detections=8",
+        "detector.embed_dim=0", "detector.dtype=float32",
+        "detector.score_threshold=0.01", "pipeline.chunk_frames=2",
+    ])
+    assert subm.read_jsonl(out2) == recs
+    assert os.path.isdir(out2 + ".d")
+
 
 @pytest.mark.slow
 def test_train_cli_synthetic_smoke(tmp_path, capsys):

@@ -365,11 +365,34 @@ def cmd_detect(args):
     pipeline = SegmentPipeline(cfg, rng=jax.random.PRNGKey(args.seed))
     if args.params:
         pipeline.params = _load_params(args.params)
-    records = []
-    for seg in iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras):
-        recs, stats = pipeline.run_segment(seg, detections_only=True)
-        records.extend(recs)
-        print(json.dumps(stats), file=sys.stderr)
+    if args.sharded:
+        # detection fan-out across the mesh (stateless lockstep groups);
+        # per-segment files land in --out-dir, merged into --out after
+        import os as _os
+
+        from waymo_2d_tracking_tpu.pipeline.sharded import (
+            run_segments_sharded,
+        )
+
+        out_dir = args.out_dir or (args.out + ".d")
+        stats = run_segments_sharded(
+            pipeline,
+            iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras),
+            out_dir, detections_only=True,
+        )
+        records = []
+        for s in stats:
+            records.extend(subm.read_jsonl(_os.path.join(
+                out_dir, f"{s['context']}_{s['camera']}.jsonl")))
+        for s in stats:
+            print(json.dumps(s), file=sys.stderr)
+    else:
+        records = []
+        for seg in iter_segments(args.segments_dir,
+                                 cameras=cfg.pipeline.cameras):
+            recs, stats = pipeline.run_segment(seg, detections_only=True)
+            records.extend(recs)
+            print(json.dumps(stats), file=sys.stderr)
     n = subm.write_jsonl(args.out, records)
     print(json.dumps({"records": n, "out": args.out}))
 
@@ -920,6 +943,13 @@ def build_parser():
     common(sp)
     sp.add_argument("--segments-dir", required=True)
     sp.add_argument("--out", default="detections.jsonl")
+    sp.add_argument("--sharded", action="store_true",
+                    help="fan segments across the device mesh (stateless "
+                         "detect lockstep; per-segment files in --out-dir, "
+                         "merged into --out)")
+    sp.add_argument("--out-dir", default=None,
+                    help="per-segment output dir for --sharded "
+                         "(default: <out>.d)")
     sp.set_defaults(fn=cmd_detect)
 
     sp = sub.add_parser("submit", help="JSONL -> Waymo submission pb")

@@ -78,13 +78,42 @@ class ShardedSegmentRunner:
         self._steps[src_hw] = step
         return step
 
-    def run_group(self, group: List[SegmentFrames], out_dir: str) -> List[dict]:
+    def _sharded_detect_step(self, src_hw):
+        """Detection-only lockstep step (`w2t detect --sharded`): stateless,
+        so the mapped body is just the local detect chunk per segment."""
+        key = ("detect", src_hw)
+        if key in self._steps:
+            return self._steps[key]
+        impl = self.pipeline._detect_chunk_impl
+        mesh = self.mesh
+
+        def body(params, frames):
+            dets, _scale = impl(params, frames[0], src_hw)
+            return jax.tree.map(lambda x: x[None], dets)
+
+        mapped = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            **{_CHECK_KW: False},
+        )
+        step = jax.jit(mapped)
+        self._steps[key] = step
+        return step
+
+    def run_group(self, group: List[SegmentFrames], out_dir: str,
+                  detections_only: bool = False) -> List[dict]:
         """Track up to ``n_shards`` same-resolution segments in lockstep;
         writes per-segment JSONL files (+ .gallery.npz sidecars, matching
         run_segments' contract for `w2t link`). Shorter/absent segments are
         padded by repeating their last real block — zeros would age every
         live track out of the final table before it is captured (same
-        rationale as SegmentFrames.chunk_iter)."""
+        rationale as SegmentFrames.chunk_iter).
+
+        detections_only: stateless detect fan-out (`w2t detect --sharded`)
+        — no tracker state, no snapshots, no gallery sidecars; per-segment
+        detections JSONL instead."""
         cfg = self.pipeline.cfg
         chunk = cfg.pipeline.chunk_frames
         g = self.n_shards
@@ -99,10 +128,13 @@ class ShardedSegmentRunner:
         ]
         src_hw = None
         batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        states = jax.device_put(
-            jax.tree.map(lambda x: jnp.stack([x] * g), init_state(cfg.tracker)),
-            batch_sharding,
-        )
+        states = None
+        if not detections_only:
+            states = jax.device_put(
+                jax.tree.map(lambda x: jnp.stack([x] * g),
+                             init_state(cfg.tracker)),
+                batch_sharding,
+            )
         fetcher = RollingFetch(depth=cfg.pipeline.prefetch_depth)
         last_blocks: List = [None] * g
         # Per-segment state snapshots, taken at the chunk where the segment's
@@ -134,10 +166,15 @@ class ShardedSegmentRunner:
                 if src_hw is None:
                     src_hw = tuple(frames.shape[2:4])
                 dev_frames = jax.device_put(frames, batch_sharding)
-                step = self._sharded_step(src_hw)
-                states, outputs = step(self.pipeline.params, states, dev_frames)
+                if detections_only:
+                    outputs = self._sharded_detect_step(src_hw)(
+                        self.pipeline.params, dev_frames)
+                else:
+                    step = self._sharded_step(src_hw)
+                    states, outputs = step(
+                        self.pipeline.params, states, dev_frames)
                 fetcher.push(outputs)   # async, bounded in-flight window
-                ending = [
+                ending = [] if detections_only else [
                     idx for idx, s in enumerate(group)
                     if start < s.num_frames <= start + chunk
                 ]
@@ -152,7 +189,8 @@ class ShardedSegmentRunner:
                 if it is not None:
                     it.close()
 
-        final_states = jax.device_get(states)    # (G, ...) stacked table
+        final_states = (None if detections_only
+                        else jax.device_get(states))  # (G, ...) stacked table
         # (G, T_pad, ...) per-segment trim + records
         outputs_host = fetcher.finish()
         stacked = jax.tree.map(
@@ -161,23 +199,30 @@ class ShardedSegmentRunner:
         stats = []
         for i, seg in enumerate(group):
             seg_out = jax.tree.map(lambda x: x[i][: seg.num_frames], stacked)
-            records = subm.records_from_track_outputs(
-                seg_out, seg.context_name, seg.timestamps, seg.camera_name,
-                scale=self._scale(seg, cfg),
-                interp_max_gap=cfg.pipeline.interp_max_gap,
-            )
+            if detections_only:
+                records = subm.records_from_detections(
+                    seg_out, seg.context_name, seg.timestamps,
+                    seg.camera_name, scale=self._scale(seg, cfg),
+                )
+            else:
+                records = subm.records_from_track_outputs(
+                    seg_out, seg.context_name, seg.timestamps,
+                    seg.camera_name, scale=self._scale(seg, cfg),
+                    interp_max_gap=cfg.pipeline.interp_max_gap,
+                )
             seg_file = os.path.join(
                 out_dir, f"{seg.context_name}_{seg.camera_name}.jsonl"
             )
             subm.write_jsonl(seg_file, records)
-            seg_state = end_snapshots[i]
-            if seg_state is None:
-                seg_state = jax.tree.map(lambda x: x[i], final_states)
-            from waymo_2d_tracking_tpu.pipeline.link import (
-                write_gallery_sidecar,
-            )
+            if not detections_only:
+                seg_state = end_snapshots[i]
+                if seg_state is None:
+                    seg_state = jax.tree.map(lambda x: x[i], final_states)
+                from waymo_2d_tracking_tpu.pipeline.link import (
+                    write_gallery_sidecar,
+                )
 
-            write_gallery_sidecar(seg_file, seg_state)
+                write_gallery_sidecar(seg_file, seg_state)
             stats.append({
                 "context": seg.context_name,
                 "camera": seg.camera_name,
@@ -442,6 +487,7 @@ def run_segments_sharded(
     out_dir: str,
     mesh: Optional[Mesh] = None,
     fail_after: Optional[int] = None,
+    detections_only: bool = False,
 ) -> List[dict]:
     """Manifest-resumable sharded fan-out: groups of mesh-size segments run
     in lockstep, one per device (same manifest contract as run_segments).
@@ -483,7 +529,8 @@ def run_segments_sharded(
             raise RuntimeError(
                 f"fault injection: stopping after {fail_after} segments"
             )
-        stats = runner.run_group(group, out_dir)
+        stats = runner.run_group(group, out_dir,
+                                 detections_only=detections_only)
         append_manifest(out_dir, stats)
         all_stats.extend(stats)
         n_run += len(group)
