@@ -73,3 +73,54 @@ def test_trainer_remat_step_runs_and_learns_shape():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert int(state.step) == 3
+
+
+def test_grad_accum_matches_manual_micro_batch_oracle():
+    """grad_accum_steps=2 must equal the manual composition: grads averaged
+    over sequential micro-batches with BN stats threaded through."""
+    import dataclasses
+
+    cfg1 = Config(detector=DET,
+                  train=TrainConfig(batch_size=4, warmup_steps=1,
+                                    total_steps=20))
+    cfg2 = Config(detector=DET,
+                  train=TrainConfig(batch_size=4, warmup_steps=1,
+                                    total_steps=20, grad_accum_steps=2))
+    tr1 = DetectorTrainer(cfg1)
+    tr2 = DetectorTrainer(cfg2)
+    state = tr1.create_state(jax.random.PRNGKey(0), batch_size=4)
+    batch = render_detection_batch(np.random.default_rng(0), 4,
+                                   DET.image_size)
+
+    # manual oracle with the K=1 trainer: half 1 with initial stats, half 2
+    # with half-1's updated stats; grads averaged
+    half = lambda s, e: {k: v[s:e] for k, v in batch.items()}  # noqa: E731
+    g1, stats1, m1 = tr1._grads_and_stats(state.params, state.batch_stats,
+                                          half(0, 2))
+    g2, stats2, m2 = tr1._grads_and_stats(state.params, stats1, half(2, 4))
+    want_g = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+
+    got_g, got_stats, got_m = tr2._grads_and_stats(
+        state.params, state.batch_stats, batch)
+    # scan-vs-separate-calls float32 reduction order: tolerance, not exact
+    for a, b in zip(jax.tree.leaves(jax.device_get(want_g)),
+                    jax.tree.leaves(jax.device_get(got_g))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(stats2)),
+                    jax.tree.leaves(jax.device_get(got_stats))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    assert float(got_m["loss"]) == pytest.approx(
+        (float(m1["loss"]) + float(m2["loss"])) / 2, rel=1e-5)
+
+    # the full train step runs with accum on
+    state2, metrics = tr2.train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # indivisible batch errors at trace time
+    cfg3 = Config(detector=DET,
+                  train=TrainConfig(batch_size=3, warmup_steps=1,
+                                    total_steps=20, grad_accum_steps=2))
+    tr3 = DetectorTrainer(cfg3)
+    bad = render_detection_batch(np.random.default_rng(0), 3, DET.image_size)
+    with pytest.raises(ValueError, match="divisible"):
+        tr3._grads_and_stats(state.params, state.batch_stats, bad)

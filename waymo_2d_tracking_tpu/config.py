@@ -230,6 +230,12 @@ class TrainConfig:
                               # DetectorTrainer.eval_variables(state)
     checkpoint_every: int = 1000
     checkpoint_dir: str = "/tmp/w2t_ckpt"
+    # Gradient accumulation: split each batch into N sequential
+    # micro-batches inside the jitted step (lax.scan) — one micro-batch of
+    # activations live at a time, so effective batch grows ~N-fold at
+    # fixed activation memory. Composes with remat; batch_size must be
+    # divisible by it. 1 disables.
+    grad_accum_steps: int = 1
     # Per-block backbone rematerialization (flax nn.remat): backward
     # recomputes each residual block's activations instead of keeping them
     # in HBM — peak-memory for ~1 extra backbone forward of FLOPs, the

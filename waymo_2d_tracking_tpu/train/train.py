@@ -78,24 +78,20 @@ class DetectorTrainer:
             state = shd.replicate(state, self.mesh)
         return state
 
-    def _train_step_impl(
-        self, state: TrainState, batch: Dict[str, jnp.ndarray]
-    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        """batch: images (N,H,W,3), gt_boxes (N,G,4), gt_classes (N,G),
-        gt_valid (N,G). Sharded over 'data' by the caller; params replicated
-        => XLA derives the grad all-reduce."""
-
+    def _grads_and_stats(self, params, batch_stats, batch):
+        """(grads, new_batch_stats, metrics) for one update — honoring
+        grad_accum_steps (callable directly; oracle-tested)."""
         reid_on = (
             self.cfg.train.reid_loss_weight > 0
             and self.cfg.detector.embed_dim > 0
             and "gt_track_ids" in batch
         )
 
-        def loss_fn(params):
+        def loss_fn(params, batch_stats, batch):
             from waymo_2d_tracking_tpu.models.detector import Detector
 
             (head_out, gt_embeds), updates = self.model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 batch["images"],
                 rois=batch["gt_boxes"] if reid_on else None,
                 method=Detector.forward_train,
@@ -134,7 +130,48 @@ class DetectorTrainer:
             return loss, (metrics, updates["batch_stats"])
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, new_stats)), grads = grad_fn(state.params)
+        accum = self.cfg.train.grad_accum_steps
+        if accum <= 1:
+            (_, (metrics, new_stats)), grads = grad_fn(
+                params, batch_stats, batch)
+        else:
+            # gradient accumulation: split the batch into `accum`
+            # micro-batches and lax.scan the backward over them — only one
+            # micro-batch's activations are live at a time (composes with
+            # remat), trading steps/sec for effective batch size. BN stats
+            # update sequentially per micro-batch (the torch convention);
+            # grads are the mean over micro-batches = the full-batch grad
+            # for all sample-mean losses.
+            n = batch["images"].shape[0]
+            if n % accum != 0:
+                raise ValueError(
+                    f"batch size {n} not divisible by "
+                    f"grad_accum_steps={accum}")
+            micro = n // accum
+            stacked = jax.tree.map(
+                lambda x: x.reshape((accum, micro) + x.shape[1:]), batch)
+
+            def micro_step(carry, mb):
+                stats, gsum = carry
+                (_, (m, stats)), g = grad_fn(params, stats, mb)
+                return (stats, jax.tree.map(jnp.add, gsum, g)), m
+
+            gzero = jax.tree.map(jnp.zeros_like, params)
+            (new_stats, gsum), metrics_seq = jax.lax.scan(
+                micro_step, (batch_stats, gzero), stacked)
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            metrics = jax.tree.map(lambda x: jnp.mean(x, axis=0),
+                                   metrics_seq)
+        return grads, new_stats, metrics
+
+    def _train_step_impl(
+        self, state: TrainState, batch: Dict[str, jnp.ndarray]
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """batch: images (N,H,W,3), gt_boxes (N,G,4), gt_classes (N,G),
+        gt_valid (N,G). Sharded over 'data' by the caller; params replicated
+        => XLA derives the grad all-reduce."""
+        grads, new_stats, metrics = self._grads_and_stats(
+            state.params, state.batch_stats, batch)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         d = self.cfg.train.ema_decay
