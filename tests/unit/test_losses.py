@@ -142,3 +142,35 @@ def test_ema_disabled_keeps_empty_pytree():
     assert jax.tree.leaves(state.ema_params) == []
     ev = trainer.eval_variables(state)
     assert jax.tree.leaves(ev["params"])  # raw params, non-empty
+
+
+def test_sgd_optimizer_option_learns_and_rejects_typos():
+    import numpy as np
+    import pytest
+
+    from waymo_2d_tracking_tpu.config import Config, DetectorConfig, TrainConfig
+    from waymo_2d_tracking_tpu.data.synthetic import render_detection_batch
+    from waymo_2d_tracking_tpu.train.train import DetectorTrainer, make_optimizer
+    import jax
+
+    det = DetectorConfig(
+        backbone="resnet18slim", image_size=(64, 96), fpn_channels=32,
+        head_depth=1, embed_dim=0, dtype="float32",
+    )
+    cfg = Config(detector=det,
+                 train=TrainConfig(batch_size=2, warmup_steps=1,
+                                   total_steps=20, optimizer="sgd",
+                                   learning_rate=1e-2))
+    trainer = DetectorTrainer(cfg)
+    state = trainer.create_state(jax.random.PRNGKey(0), batch_size=2)
+    batch = render_detection_batch(np.random.default_rng(0), 2,
+                                   det.image_size)
+    losses = []
+    for _ in range(4):
+        state, metrics = trainer.train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]   # sgd actually descends
+
+    with pytest.raises(ValueError, match="optimizer"):
+        make_optimizer(TrainConfig(optimizer="adamw2"))

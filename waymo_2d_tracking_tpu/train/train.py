@@ -42,10 +42,20 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         warmup_steps=cfg.warmup_steps,
         decay_steps=cfg.total_steps,
     )
-    return optax.chain(
-        optax.clip_by_global_norm(10.0),
-        optax.adamw(schedule, weight_decay=cfg.weight_decay),
-    )
+    if cfg.optimizer == "adamw":
+        opt = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "sgd":
+        # detection classic (the reference era trained ResNet detectors
+        # with SGD momentum + weight decay); decoupled wd matches torch's
+        opt = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(schedule, momentum=cfg.sgd_momentum, nesterov=False),
+        )
+    else:
+        raise ValueError(
+            f"train.optimizer must be 'adamw' or 'sgd', got "
+            f"{cfg.optimizer!r}")
+    return optax.chain(optax.clip_by_global_norm(10.0), opt)
 
 
 class DetectorTrainer:
