@@ -222,6 +222,20 @@ def test_detect_cli_on_directory_segments(tmp_path, capsys):
     assert subm.read_jsonl(out2) == recs
     assert os.path.isdir(out2 + ".d")
 
+    # resumed rerun (manifest already complete -> zero segments run) must
+    # still merge every completed segment's detections into --out
+    out3 = str(tmp_path / "dets_resume.jsonl")
+    cli.main([
+        "detect", "--segments-dir", str(tmp_path / "segs"), "--out", out3,
+        "--sharded", "--out-dir", out2 + ".d",
+        "--set", "detector.backbone=resnet18slim", "detector.image_size=[64,96]",
+        "detector.fpn_channels=32", "detector.head_depth=1",
+        "detector.pre_nms_topk=32", "detector.max_detections=8",
+        "detector.embed_dim=0", "detector.dtype=float32",
+        "detector.score_threshold=0.01", "pipeline.chunk_frames=2",
+    ])
+    assert subm.read_jsonl(out3) == recs
+
 
 @pytest.mark.slow
 def test_train_cli_synthetic_smoke(tmp_path, capsys):

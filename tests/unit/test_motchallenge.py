@@ -75,16 +75,32 @@ def test_export_frame_numbers_are_rank_based(tmp_path):
 
 
 def test_result_import_ignores_world_coordinate_column(tmp_path):
-    # third-party result files carry world-X in column 8 (floats / -1):
-    # never interpret those as a class
+    # third-party det/result files carry world X/Y/Z in columns 8-10
+    # (10 fields): NEVER class-bearing, even when integral. Only our own
+    # 9-field export signature (…,score,class,-1) maps the class column.
     p = tmp_path / "r.txt"
     p.write_text("1,1,0,0,10,10,0.9,-1,-1,-1\n"
                  "1,2,20,0,10,10,0.9,3.7,1.2,-1\n"
-                 "1,3,40,0,10,10,0.9,3,-1,-1\n")
+                 "1,3,40,0,10,10,0.9,3,-1,-1\n"
+                 "1,4,60,0,10,10,0.9,3,-1\n")
     recs, _ = read_mot(str(p))
     assert recs[0].object_type == TYPE_PEDESTRIAN   # -1 -> default
     assert recs[1].object_type == TYPE_PEDESTRIAN   # 3.7 is a coordinate
-    assert recs[2].object_type == TYPE_VEHICLE      # integral class 3
+    assert recs[2].object_type == TYPE_PEDESTRIAN   # 10-field: world-X 3.0
+    assert recs[3].object_type == TYPE_VEHICLE      # our 9-field signature
+
+
+def test_export_keeps_frame_slots_for_empty_frames(tmp_path):
+    """A frame with no emitted records must keep its frame number in the
+    export (grid-inferred), or external scorers shift every later box."""
+    recs = [
+        _rec("s", f, "a", (0, 0, 10, 10))
+        for f in (1, 2, 3, 4, 6, 7)       # frame 5: no output
+    ]
+    write_mot(recs, str(tmp_path))
+    frames = [int(l.split(",")[0])
+              for l in (tmp_path / "s.txt").read_text().splitlines()]
+    assert frames == [1, 2, 3, 4, 6, 7]
 
 
 def test_multi_camera_context_gets_per_camera_files(tmp_path):

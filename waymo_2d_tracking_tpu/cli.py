@@ -380,10 +380,16 @@ def cmd_detect(args):
             iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras),
             out_dir, detections_only=True,
         )
+        # merge from the MANIFEST, not this invocation's stats: a resumed
+        # run skips already-done segments (no stats row), but their
+        # detections must still appear in --out
+        from waymo_2d_tracking_tpu.pipeline.manifest import load_done_keys
+
         records = []
-        for s in stats:
-            records.extend(subm.read_jsonl(_os.path.join(
-                out_dir, f"{s['context']}_{s['camera']}.jsonl")))
+        for key in sorted(load_done_keys(out_dir)):
+            ctx, cam = key.rsplit("/", 1)
+            records.extend(subm.read_jsonl(
+                _os.path.join(out_dir, f"{ctx}_{cam}.jsonl")))
         for s in stats:
             print(json.dumps(s), file=sys.stderr)
     else:
@@ -823,9 +829,11 @@ def cmd_doctor(args):
     import importlib
 
     report = {}
-    import jax
-
     try:
+        # jax import itself is inside the guard: a broken jaxlib install
+        # is exactly the failure this report must survive and describe
+        import jax
+
         devs = jax.devices()
         report["jax"] = {
             "version": jax.__version__,
@@ -833,8 +841,8 @@ def cmd_doctor(args):
             "devices": [str(d) for d in devs],
             "device_count": len(devs),
         }
-    except Exception as e:  # tunnel down / no backend
-        report["jax"] = {"version": jax.__version__, "error": str(e)}
+    except Exception as e:  # tunnel down / no backend / broken install
+        report["jax"] = {"error": f"{type(e).__name__}: {e}"}
 
     from waymo_2d_tracking_tpu.data import tfrecord_native
     from waymo_2d_tracking_tpu.data.jpeg import BatchJpegDecoder
@@ -1148,4 +1156,6 @@ def main(argv: Optional[List[str]] = None):
 
 
 if __name__ == "__main__":
-    main()
+    # propagate command exit codes (doctor returns 1 when degraded) under
+    # `python -m waymo_2d_tracking_tpu.cli ...`, matching the w2t script
+    sys.exit(main())

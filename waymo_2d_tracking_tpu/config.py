@@ -222,8 +222,9 @@ class TrainConfig:
     weight_decay: float = 1e-4
     warmup_steps: int = 500
     total_steps: int = 20000
-    optimizer: str = "adamw"       # 'adamw' | 'sgd' (momentum, decoupled
-                                   # wd — the classic detector recipe)
+    optimizer: str = "adamw"       # 'adamw' | 'sgd' (momentum + coupled
+                                   # L2 wd, torch SGD semantics — the
+                                   # classic detector recipe)
     sgd_momentum: float = 0.9
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0

@@ -117,13 +117,17 @@ def read_mot(
                     continue
                 score = 1.0
             else:
-                # result/det files: honor a mappable class column when
-                # present (write_mot emits one), so an export -> import
-                # round trip preserves object types. Guard: third-party
-                # result files put world-X here (-1, or a float in 3D
-                # sets) — only integral values in class range count.
-                raw = float(parts[7]) if len(parts) > 7 else -1.0
-                cls = int(raw) if raw == int(raw) and 1 <= raw <= 12 else -1
+                # result/det files: honor the class column ONLY for our
+                # own export signature (exactly 9 fields ending in -1,
+                # what write_mot emits) so the round trip preserves
+                # types. Third-party det/result files carry world X/Y/Z
+                # in columns 8-10 (MOT15 det, 3D results) — a 10-field
+                # row is never class-bearing, integral-looking or not.
+                cls = -1
+                if (len(parts) == 9 and float(parts[8]) == -1.0):
+                    raw = float(parts[7])
+                    if raw == int(raw):
+                        cls = int(raw)
                 otype = MOT_CLASS_TO_TYPE.get(cls, default_type)
                 score = conf
             if tid < 0:
@@ -209,8 +213,17 @@ def write_mot(
             else f"{ctx}_cam{cam}.txt"
         ids: Dict[str, int] = {}
         rows.sort(key=lambda r: (r.timestamp_micros, r.object_id))
-        frame_of = {ts: i + 1 for i, ts in enumerate(
-            sorted({r.timestamp_micros for r in rows}))}
+        # full inferred grid, not just observed timestamps: a frame where
+        # no track emitted output must still occupy its frame number, or
+        # every box after the gap lands one GT frame early in external
+        # scorers (io_out/postprocess.infer_frame_grid synthesizes the
+        # holes from the smallest observed period)
+        from waymo_2d_tracking_tpu.io_out.postprocess import (
+            infer_frame_grid,
+        )
+
+        grid = infer_frame_grid([r.timestamp_micros for r in rows])
+        frame_of = {ts: i + 1 for i, ts in enumerate(grid)}
         with open(os.path.join(out_dir, name), "w") as f:
             for r in rows:
                 x1, y1, x2, y2 = r.to_xyxy()

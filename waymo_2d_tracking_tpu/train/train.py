@@ -46,7 +46,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         opt = optax.adamw(schedule, weight_decay=cfg.weight_decay)
     elif cfg.optimizer == "sgd":
         # detection classic (the reference era trained ResNet detectors
-        # with SGD momentum + weight decay); decoupled wd matches torch's
+        # with SGD momentum + weight decay). wd is added BEFORE the
+        # momentum transform, i.e. COUPLED L2 regularization — exactly
+        # torch.optim.SGD's semantics (not decoupled SGDW)
         opt = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay),
             optax.sgd(schedule, momentum=cfg.sgd_momentum, nesterov=False),
@@ -276,7 +278,11 @@ def evaluate_detector(
         from waymo_2d_tracking_tpu.models.detector import DetectorRunner
 
         runner = DetectorRunner(trainer.cfg.detector)
-    variables = jax.device_get(trainer.eval_variables(state))
+    variables = trainer.eval_variables(state)
+    if trainer.mesh is not None:
+        # mesh-replicated state: pull to host so the (unsharded) detect
+        # jit sees plain arrays instead of GSPMD-replicated ones
+        variables = jax.device_get(variables)
     preds, gts = [], []
     for bi, batch in enumerate(val_batches):
         dets = runner.detect(variables, batch["images"])
