@@ -167,3 +167,64 @@ def test_serve_multicam_roundtrip(tmp_path):
         c.close_server()
     th.join(timeout=60)
     assert not th.is_alive()
+
+
+def test_serve_snapshot_restore_failover(tmp_path):
+    """Failover: snapshot server A's tracker state, restore into a fresh
+    server B. The discriminative signal is the id counter: births after
+    restore continue numbering past A's (a cold server restarts at 0)."""
+
+    def run_server(sock):
+        argv = ["serve", "--socket", sock, "--max-requests", "50",
+                "--warmup", "64", "96", "--set"] + TINY
+        th = threading.Thread(target=cli.main, args=(argv,), daemon=True)
+        th.start()
+        for _ in range(1200):
+            if os.path.exists(sock):
+                return th
+            time.sleep(0.1)
+        pytest.fail("server socket never appeared")
+
+    def suffixes(recs):
+        return {int(r["object_id"].rsplit("_", 1)[1]) for r in recs}
+
+    rng = np.random.default_rng(0)
+    frame1 = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    frame2 = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    frame3 = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+
+    sock_a = str(tmp_path / "a.sock")
+    run_server(sock_a)
+    seen_a = set()
+    with TrackingClient(socket_path=sock_a) as ca:
+        seen_a |= suffixes(ca.step(frame1, timestamp_micros=100)["records"])
+        seen_a |= suffixes(ca.step(frame2, timestamp_micros=200)["records"])
+        snap = ca.snapshot()
+        ca.close_server()
+    assert snap["blob"] and seen_a
+
+    sock_b = str(tmp_path / "b.sock")
+    run_server(sock_b)
+    with TrackingClient(socket_path=sock_b) as cb:
+        # cold server's state snapshot differs from A's (A has live tracks)
+        cold = cb.snapshot()
+        assert cold["blob"] != snap["blob"]
+
+        cb.restore(snap["blob"], context_name=snap["context_name"])
+        # restore -> snapshot round-trips the full state byte-for-byte:
+        # track table, ages, embeddings, id counter — everything
+        again = cb.snapshot()
+        assert again["blob"] == snap["blob"]
+        assert again["context_name"] == snap["context_name"]
+
+        # the restored server keeps serving, and A's identities continue:
+        # every id on the next step was already assigned by A (no rebirth
+        # under a fresh counter)
+        got = suffixes(cb.step(frame3, timestamp_micros=300)["records"])
+        assert got and got <= seen_a, (seen_a, got)
+
+        # config-mismatch snapshots are rejected, server stays usable
+        with pytest.raises(RuntimeError, match="config|load|file"):
+            cb.restore(snap["blob"][: len(snap["blob"]) // 2])
+        assert cb.stats()["ok"]
+        cb.close_server()

@@ -29,6 +29,12 @@ Wire protocol (all lengths u32 big-endian):
         [l1..lN] with N concatenated JPEGs)
     {"type": "reset", "context_name": str?}      (fresh track table)
     {"type": "stats"}                            (latency percentiles)
+    {"type": "snapshot"}                         (serialize tracker state ->
+                                                  base64 in the response;
+                                                  failover / live-migration)
+    {"type": "restore", "context_name": str?}    + payload (snapshot bytes)
+                                                  (load state into a fresh
+                                                  server; config must match)
     {"type": "close"}                            (server replies, exits loop)
   each message = [len][header JSON][len][payload]; payload may be empty.
 
@@ -169,10 +175,65 @@ class TrackingServer:
             "latency_ms": round(self.sess.last_latency_ms(), 3),
         }
 
+    # -- state snapshot / restore (failover, live migration) ---------------
+    def _get_state(self):
+        return self.sess.states if self.multicam else self.sess.state
+
+    def _set_state(self, tree):
+        if self.multicam:
+            self.sess.states = tree
+        else:
+            self.sess.state = tree
+
+    def _handle_snapshot(self) -> dict:
+        import base64
+        import io as _io
+
+        import jax
+        import numpy as np
+
+        leaves = jax.tree.leaves(jax.device_get(self._get_state()))
+        buf = _io.BytesIO()
+        np.savez(buf, *[np.asarray(l) for l in leaves])
+        return {
+            "ok": True,
+            "snapshot": base64.b64encode(buf.getvalue()).decode(),
+            "context_name": self.sess.context_name,
+            "multicam": self.multicam,
+        }
+
+    def _handle_restore(self, header: dict, payload: bytes) -> dict:
+        import io as _io
+
+        import jax
+        import numpy as np
+
+        cur = self._get_state()
+        treedef = jax.tree.structure(cur)
+        cur_leaves = jax.tree.leaves(cur)
+        with np.load(_io.BytesIO(bytes(payload))) as z:
+            names = sorted(z.files, key=lambda k: int(k.split("_")[1]))
+            leaves = [z[k] for k in names]
+        if len(leaves) != len(cur_leaves) or any(
+            a.shape != tuple(b.shape) or a.dtype != b.dtype
+            for a, b in zip(leaves, cur_leaves)
+        ):
+            raise ValueError(
+                "snapshot does not match this server's tracker config "
+                "(slots/embed_dim/multicam must be identical)")
+        self._set_state(jax.device_put(jax.tree.unflatten(treedef, leaves)))
+        if "context_name" in header:
+            self.sess.context_name = str(header["context_name"])
+        return {"ok": True}
+
     def _handle(self, header: dict, payload: bytes) -> Tuple[dict, bool]:
         kind = header.get("type")
         if kind == "frame":
             return self._handle_frame(header, payload), False
+        if kind == "snapshot":
+            return self._handle_snapshot(), False
+        if kind == "restore":
+            return self._handle_restore(header, payload), False
         if kind == "reset":
             self.sess.reset()
             if "context_name" in header:
@@ -316,6 +377,25 @@ class TrackingClient:
 
     def stats(self) -> dict:
         return self._roundtrip({"type": "stats"})
+
+    def snapshot(self) -> dict:
+        """{"blob": bytes, "context_name": str} — feed to restore() on a
+        fresh server (same tracker config) to continue identities."""
+        import base64
+
+        r = self._roundtrip({"type": "snapshot"})
+        if not r.get("ok"):
+            raise RuntimeError(r.get("error", "snapshot failed"))
+        return {"blob": base64.b64decode(r["snapshot"]),
+                "context_name": r.get("context_name")}
+
+    def restore(self, blob: bytes, context_name: Optional[str] = None):
+        header = {"type": "restore"}
+        if context_name is not None:
+            header["context_name"] = context_name
+        r = self._roundtrip(header, bytes(blob))
+        if not r.get("ok"):
+            raise RuntimeError(r.get("error", "restore failed"))
 
     def close_server(self) -> None:
         self._roundtrip({"type": "close"})
