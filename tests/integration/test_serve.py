@@ -171,8 +171,10 @@ def test_serve_multicam_roundtrip(tmp_path):
 
 def test_serve_snapshot_restore_failover(tmp_path):
     """Failover: snapshot server A's tracker state, restore into a fresh
-    server B. The discriminative signal is the id counter: births after
-    restore continue numbering past A's (a cold server restarts at 0)."""
+    server B. Discriminative signals: restore->snapshot round-trips the
+    state byte-for-byte (cold state differs), and every identity on the
+    next step was already assigned by A (no rebirth under a fresh
+    counter)."""
 
     def run_server(sock):
         argv = ["serve", "--socket", sock, "--max-requests", "50",
@@ -228,3 +230,39 @@ def test_serve_snapshot_restore_failover(tmp_path):
             cb.restore(snap["blob"][: len(snap["blob"]) // 2])
         assert cb.stats()["ok"]
         cb.close_server()
+
+
+def test_serve_state_file_persists_across_restart(tmp_path):
+    """--state-file: snapshot written on exit, restored at next start."""
+    state_file = str(tmp_path / "tracker.state")
+    sock = str(tmp_path / "s.sock")
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+
+    def serve_once():
+        argv = ["serve", "--socket", sock, "--max-requests", "20",
+                "--state-file", state_file,
+                "--warmup", "64", "96", "--set"] + TINY
+        th = threading.Thread(target=cli.main, args=(argv,), daemon=True)
+        th.start()
+        for _ in range(1200):
+            if os.path.exists(sock):
+                return th
+            time.sleep(0.1)
+        pytest.fail("server socket never appeared")
+
+    th = serve_once()
+    with TrackingClient(socket_path=sock) as c:
+        c.step(frame, timestamp_micros=100)
+        snap1 = c.snapshot()["blob"]
+        c.close_server()
+    th.join(timeout=30)
+    assert os.path.exists(state_file)
+    assert open(state_file, "rb").read() == snap1
+
+    # second incarnation restores the file: its state equals the snapshot
+    th = serve_once()
+    with TrackingClient(socket_path=sock) as c:
+        assert c.snapshot()["blob"] == snap1
+        c.close_server()
+    th.join(timeout=30)

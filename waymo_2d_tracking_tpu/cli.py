@@ -808,6 +808,12 @@ def cmd_serve(args):
                             multicam=args.multicam)
     if args.warmup:
         server.warmup((int(args.warmup[0]), int(args.warmup[1])))
+    if args.state_file and os.path.exists(args.state_file):
+        # planned-restart recovery: resume identities from the last
+        # snapshot written by the previous incarnation
+        with open(args.state_file, "rb") as f:
+            server._handle_restore({}, f.read())
+        print(json.dumps({"restored": args.state_file}), file=sys.stderr)
 
     def on_ready(addr):
         print(json.dumps({"ready": True, "addr": list(addr)
@@ -815,9 +821,20 @@ def cmd_serve(args):
 
     from waymo_2d_tracking_tpu.utils.profiling import trace
 
-    with trace(args.profile):
-        n = server.serve(socket_path=args.socket, port=args.port,
-                         max_requests=args.max_requests, on_ready=on_ready)
+    try:
+        with trace(args.profile):
+            n = server.serve(socket_path=args.socket, port=args.port,
+                             max_requests=args.max_requests,
+                             on_ready=on_ready)
+    finally:
+        if args.state_file:
+            import base64
+
+            blob = base64.b64decode(server._handle_snapshot()["snapshot"])
+            tmp = args.state_file + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, args.state_file)   # atomic vs crash mid-write
     print(json.dumps({"requests": n,
                       "latency": server.sess.latency_stats()}))
 
@@ -1118,6 +1135,12 @@ def build_parser():
     sp.add_argument("--warmup", nargs=2, metavar=("H", "W"), default=None,
                     help="pre-compile for H W sources before accepting "
                          "(otherwise the first frame pays the XLA compile)")
+    sp.add_argument("--state-file", default=None, dest="state_file",
+                    help="tracker-state persistence: restore from this "
+                         "file at start (if present) and snapshot to it "
+                         "atomically on exit — identities survive planned "
+                         "restarts; mid-run failover uses the client "
+                         "snapshot/restore messages")
     sp.add_argument("--max-requests", type=int, default=None,
                     help="exit after N requests (drain/test hook)")
     sp.set_defaults(fn=cmd_serve)
