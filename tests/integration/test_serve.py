@@ -176,9 +176,11 @@ def test_serve_snapshot_restore_failover(tmp_path):
     next step was already assigned by A (no rebirth under a fresh
     counter)."""
 
-    def run_server(sock):
-        argv = ["serve", "--socket", sock, "--max-requests", "50",
-                "--warmup", "64", "96", "--set"] + TINY
+    def run_server(sock, warmup=True):
+        argv = ["serve", "--socket", sock, "--max-requests", "50"]
+        if warmup:
+            argv += ["--warmup", "64", "96"]
+        argv += ["--set"] + TINY
         th = threading.Thread(target=cli.main, args=(argv,), daemon=True)
         th.start()
         for _ in range(1200):
@@ -205,8 +207,10 @@ def test_serve_snapshot_restore_failover(tmp_path):
         ca.close_server()
     assert snap["blob"] and seen_a
 
+    # server B starts UN-warmed: the first frame's auto-warmup must NOT
+    # wipe the restored state (regression: warmup used to end in reset())
     sock_b = str(tmp_path / "b.sock")
-    run_server(sock_b)
+    run_server(sock_b, warmup=False)
     with TrackingClient(socket_path=sock_b) as cb:
         # cold server's state snapshot differs from A's (A has live tracks)
         cold = cb.snapshot()
@@ -219,9 +223,9 @@ def test_serve_snapshot_restore_failover(tmp_path):
         assert again["blob"] == snap["blob"]
         assert again["context_name"] == snap["context_name"]
 
-        # the restored server keeps serving, and A's identities continue:
-        # every id on the next step was already assigned by A (no rebirth
-        # under a fresh counter)
+        # the restored server keeps serving THROUGH the auto-warmup, and
+        # A's identities continue: every id on the next step was already
+        # assigned by A (no rebirth under a fresh counter)
         got = suffixes(cb.step(frame3, timestamp_micros=300)["records"])
         assert got and got <= seen_a, (seen_a, got)
 
@@ -253,6 +257,7 @@ def test_serve_state_file_persists_across_restart(tmp_path):
 
     th = serve_once()
     with TrackingClient(socket_path=sock) as c:
+        c.reset(context_name="ctxZ")
         c.step(frame, timestamp_micros=100)
         snap1 = c.snapshot()["blob"]
         c.close_server()
@@ -260,9 +265,20 @@ def test_serve_state_file_persists_across_restart(tmp_path):
     assert os.path.exists(state_file)
     assert open(state_file, "rb").read() == snap1
 
-    # second incarnation restores the file: its state equals the snapshot
+    # second incarnation restores the file: state AND context survive
     th = serve_once()
     with TrackingClient(socket_path=sock) as c:
-        assert c.snapshot()["blob"] == snap1
+        again = c.snapshot()
+        assert again["blob"] == snap1
+        assert again["context_name"] == "ctxZ"
+        c.close_server()
+    th.join(timeout=30)
+
+    # a corrupt state file must not block the restart: warn + serve fresh
+    with open(state_file, "wb") as f:
+        f.write(b"garbage")
+    th = serve_once()
+    with TrackingClient(socket_path=sock) as c:
+        assert c.stats()["ok"]
         c.close_server()
     th.join(timeout=30)

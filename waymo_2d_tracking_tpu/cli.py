@@ -375,21 +375,36 @@ def cmd_detect(args):
         )
 
         out_dir = args.out_dir or (args.out + ".d")
+        # record this invocation's segment keys while the sharded runner
+        # consumes the (lazy) iterator: the merge below must cover exactly
+        # THESE segments — including manifest-resumed ones that get no
+        # stats row — and not stale keys from an earlier run that reused
+        # the out-dir with a different --segments-dir
+        from waymo_2d_tracking_tpu.pipeline.manifest import segment_key
+
+        seen_keys = []
+
+        def _recording(it):
+            for seg in it:
+                seen_keys.append(
+                    (seg.context_name, seg.camera_name))
+                yield seg
+
         stats = run_segments_sharded(
             pipeline,
-            iter_segments(args.segments_dir, cameras=cfg.pipeline.cameras),
+            _recording(iter_segments(args.segments_dir,
+                                     cameras=cfg.pipeline.cameras)),
             out_dir, detections_only=True,
         )
-        # merge from the MANIFEST, not this invocation's stats: a resumed
-        # run skips already-done segments (no stats row), but their
-        # detections must still appear in --out
-        from waymo_2d_tracking_tpu.pipeline.manifest import load_done_keys
-
         records = []
-        for key in sorted(load_done_keys(out_dir)):
-            ctx, cam = key.rsplit("/", 1)
-            records.extend(subm.read_jsonl(
-                _os.path.join(out_dir, f"{ctx}_{cam}.jsonl")))
+        for ctx, cam in seen_keys:
+            seg_file = _os.path.join(out_dir, f"{ctx}_{cam}.jsonl")
+            if not _os.path.exists(seg_file):
+                raise FileNotFoundError(
+                    f"detect --sharded: {seg_file} missing for completed "
+                    f"segment {segment_key(ctx, cam)} — out-dir partially "
+                    "cleaned? delete its manifest.jsonl line to recompute")
+            records.extend(subm.read_jsonl(seg_file))
         for s in stats:
             print(json.dumps(s), file=sys.stderr)
     else:
@@ -810,10 +825,19 @@ def cmd_serve(args):
         server.warmup((int(args.warmup[0]), int(args.warmup[1])))
     if args.state_file and os.path.exists(args.state_file):
         # planned-restart recovery: resume identities from the last
-        # snapshot written by the previous incarnation
-        with open(args.state_file, "rb") as f:
-            server._handle_restore({}, f.read())
-        print(json.dumps({"restored": args.state_file}), file=sys.stderr)
+        # snapshot written by the previous incarnation. A corrupt or
+        # config-mismatched file must NOT block restarts — warn and serve
+        # fresh (the whole point of the feature is surviving restarts)
+        try:
+            with open(args.state_file, "rb") as f:
+                server.load_state(f.read())
+            print(json.dumps({"restored": args.state_file}), file=sys.stderr)
+        except Exception as e:
+            print(json.dumps({
+                "restore_failed": args.state_file,
+                "error": f"{type(e).__name__}: {e}",
+                "action": "serving with fresh state",
+            }), file=sys.stderr)
 
     def on_ready(addr):
         print(json.dumps({"ready": True, "addr": list(addr)
@@ -828,12 +852,11 @@ def cmd_serve(args):
                              on_ready=on_ready)
     finally:
         if args.state_file:
-            import base64
-
-            blob = base64.b64decode(server._handle_snapshot()["snapshot"])
             tmp = args.state_file + ".tmp"
             with open(tmp, "wb") as f:
-                f.write(blob)
+                f.write(server.state_bytes())
+                f.flush()
+                os.fsync(f.fileno())           # durable before the rename
             os.replace(tmp, args.state_file)   # atomic vs crash mid-write
     print(json.dumps({"requests": n,
                       "latency": server.sess.latency_stats()}))

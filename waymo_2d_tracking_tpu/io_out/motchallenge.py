@@ -35,6 +35,7 @@ import dataclasses
 import os
 from typing import Dict, Iterable, List, Sequence, Tuple
 
+from waymo_2d_tracking_tpu.io_out.postprocess import infer_frame_grid
 from waymo_2d_tracking_tpu.io_out.submission import (
     TYPE_CYCLIST,
     TYPE_PEDESTRIAN,
@@ -195,10 +196,12 @@ def write_mot(
     File name: ``<context>.txt`` when the context appears with a single
     camera (the MOT norm), else ``<context>_cam<k>.txt``. Returns
     {filename: line count}. Track ids are re-issued as dense positive
-    integers per sequence (MOT requires ints; ours are strings), and frame
-    numbers by RANK of the sequence's sorted unique timestamps (1-based) —
-    order-preserving and collision-free for any timestamp convention
-    (frame indices, 10 Hz ticks, or real Waymo epoch micros with jitter).
+    integers per sequence (MOT requires ints; ours are strings). Frame
+    numbers are positions on the sequence's INFERRED frame grid
+    (postprocess.infer_frame_grid, 1-based): order-preserving and
+    collision-free for any timestamp convention (frame indices, 10 Hz
+    ticks, epoch micros with jitter), and a frame where no track emitted
+    output keeps its slot — so numbers may skip (e.g. 1,2,4).
     """
     by_key: Dict[Tuple[str, int], List[TrackRecord]] = {}
     for r in records:
@@ -216,12 +219,8 @@ def write_mot(
         # full inferred grid, not just observed timestamps: a frame where
         # no track emitted output must still occupy its frame number, or
         # every box after the gap lands one GT frame early in external
-        # scorers (io_out/postprocess.infer_frame_grid synthesizes the
-        # holes from the smallest observed period)
-        from waymo_2d_tracking_tpu.io_out.postprocess import (
-            infer_frame_grid,
-        )
-
+        # scorers (infer_frame_grid synthesizes the holes from the
+        # smallest observed period)
         grid = infer_frame_grid([r.timestamp_micros for r in rows])
         frame_of = {ts: i + 1 for i, ts in enumerate(grid)}
         with open(os.path.join(out_dir, name), "w") as f:

@@ -154,11 +154,14 @@ class OnlineTracker:
         S-slot) outputs is the only reliable barrier.
         """
         t0 = time.perf_counter()
+        # the dummy step DONATES self.state — keep a host copy and put it
+        # back, so a restored/live track table survives warmup (a trailing
+        # reset() here silently wiped failover-restored state)
+        saved = jax.device_get(self.state)
         dummy = np.zeros(src_hw + (3,), np.uint8)
         state, outputs, _ = self._step(self.params, self.state, dummy, src_hw)
         jax.device_get(outputs)
-        self.state = state
-        self.reset()
+        self.state = jax.device_put(saved)
         return time.perf_counter() - t0
 
     def step(self, frame: Frame, timestamp_micros: int) -> List[subm.TrackRecord]:
@@ -237,12 +240,13 @@ class OnlineMultiCamTracker:
 
     def warmup(self, src_hw: Tuple[int, int]) -> float:
         t0 = time.perf_counter()
+        # host-save/restore instead of reset(): see OnlineTracker.warmup
+        saved = jax.device_get(self.states)
         dummy = np.zeros((self.num_cams,) + src_hw + (3,), np.uint8)
         states, outputs, _ = self._step(self.params, self.states, dummy, src_hw)
         # real host transfer, not block_until_ready — see OnlineTracker.warmup
         jax.device_get(outputs)
-        self.states = states
-        self.reset()
+        self.states = jax.device_put(saved)
         return time.perf_counter() - t0
 
     def step(self, frames: Sequence[Frame],

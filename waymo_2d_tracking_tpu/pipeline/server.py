@@ -185,25 +185,31 @@ class TrackingServer:
         else:
             self.sess.state = tree
 
-    def _handle_snapshot(self) -> dict:
-        import base64
+    def state_bytes(self) -> bytes:
+        """Serialize the full tracker state (track table, ages, embeddings,
+        id counter) + context metadata to portable npz bytes."""
         import io as _io
+        import json as _json
 
         import jax
         import numpy as np
 
         leaves = jax.tree.leaves(jax.device_get(self._get_state()))
         buf = _io.BytesIO()
-        np.savez(buf, *[np.asarray(l) for l in leaves])
-        return {
-            "ok": True,
-            "snapshot": base64.b64encode(buf.getvalue()).decode(),
-            "context_name": self.sess.context_name,
-            "multicam": self.multicam,
-        }
+        np.savez(
+            buf, *[np.asarray(l) for l in leaves],
+            meta=np.array(_json.dumps({
+                "context_name": self.sess.context_name,
+                "multicam": self.multicam,
+            })),
+        )
+        return buf.getvalue()
 
-    def _handle_restore(self, header: dict, payload: bytes) -> dict:
+    def load_state(self, data: bytes, context_name: Optional[str] = None):
+        """Load state_bytes() output; shape/dtype-validated against this
+        server's config. context_name overrides the snapshot's metadata."""
         import io as _io
+        import json as _json
 
         import jax
         import numpy as np
@@ -211,9 +217,12 @@ class TrackingServer:
         cur = self._get_state()
         treedef = jax.tree.structure(cur)
         cur_leaves = jax.tree.leaves(cur)
-        with np.load(_io.BytesIO(bytes(payload))) as z:
-            names = sorted(z.files, key=lambda k: int(k.split("_")[1]))
+        with np.load(_io.BytesIO(bytes(data))) as z:
+            names = sorted((k for k in z.files if k.startswith("arr_")),
+                           key=lambda k: int(k.split("_")[1]))
             leaves = [z[k] for k in names]
+            meta = (_json.loads(str(z["meta"]))
+                    if "meta" in z.files else {})
         if len(leaves) != len(cur_leaves) or any(
             a.shape != tuple(b.shape) or a.dtype != b.dtype
             for a, b in zip(leaves, cur_leaves)
@@ -222,8 +231,23 @@ class TrackingServer:
                 "snapshot does not match this server's tracker config "
                 "(slots/embed_dim/multicam must be identical)")
         self._set_state(jax.device_put(jax.tree.unflatten(treedef, leaves)))
-        if "context_name" in header:
-            self.sess.context_name = str(header["context_name"])
+        if context_name is not None:
+            self.sess.context_name = str(context_name)
+        elif meta.get("context_name"):
+            self.sess.context_name = str(meta["context_name"])
+
+    def _handle_snapshot(self) -> dict:
+        import base64
+
+        return {
+            "ok": True,
+            "snapshot": base64.b64encode(self.state_bytes()).decode(),
+            "context_name": self.sess.context_name,
+            "multicam": self.multicam,
+        }
+
+    def _handle_restore(self, header: dict, payload: bytes) -> dict:
+        self.load_state(payload, context_name=header.get("context_name"))
         return {"ok": True}
 
     def _handle(self, header: dict, payload: bytes) -> Tuple[dict, bool]:
@@ -380,12 +404,11 @@ class TrackingClient:
 
     def snapshot(self) -> dict:
         """{"blob": bytes, "context_name": str} — feed to restore() on a
-        fresh server (same tracker config) to continue identities."""
+        fresh server (same tracker config) to continue identities.
+        (_roundtrip raises RuntimeError on server-side failures.)"""
         import base64
 
         r = self._roundtrip({"type": "snapshot"})
-        if not r.get("ok"):
-            raise RuntimeError(r.get("error", "snapshot failed"))
         return {"blob": base64.b64decode(r["snapshot"]),
                 "context_name": r.get("context_name")}
 
@@ -393,9 +416,7 @@ class TrackingClient:
         header = {"type": "restore"}
         if context_name is not None:
             header["context_name"] = context_name
-        r = self._roundtrip(header, bytes(blob))
-        if not r.get("ok"):
-            raise RuntimeError(r.get("error", "restore failed"))
+        self._roundtrip(header, bytes(blob))
 
     def close_server(self) -> None:
         self._roundtrip({"type": "close"})
