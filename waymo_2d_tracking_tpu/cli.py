@@ -43,7 +43,21 @@ def _load_config(args):
     return load_config(args.config, _parse_overrides(args.set or []))
 
 
+def _enable_compile_cache(args):
+    """Persistent XLA compile cache for the jax-compiling verbs (track /
+    detect / train / serve / link / export-savedmodel) so restarted
+    processes — the serve daemon's failover path above all — skip
+    recompilation. Resolution: --compile-cache > W2T_COMPILE_CACHE >
+    ~/.cache/w2t/jax-cache; 'off' disables. Kept out of _load_config so
+    jax-free verbs (eval and its process pool, submit, interp) never
+    import jax."""
+    from waymo_2d_tracking_tpu.utils.compile_cache import enable_compile_cache
+
+    return enable_compile_cache(getattr(args, "compile_cache", None))
+
+
 def cmd_track(args):
+    _enable_compile_cache(args)
     cfg = _load_config(args)
     if args.from_detections:
         return _track_from_detections(cfg, args)
@@ -275,86 +289,23 @@ def _track_online_multicam(cfg, args):
 
 
 def _track_from_detections(cfg, args):
-    """Config-1 path: tracker only, precomputed detections (runs on CPU too)."""
-    import numpy as np
-    import jax.numpy as jnp
+    """Config-1 path: tracker only, precomputed detections (runs on CPU too).
 
+    Core lives in pipeline/offline.py (shared with `w2t tune`)."""
     from waymo_2d_tracking_tpu.io_out import submission as subm
-    from waymo_2d_tracking_tpu.tracker import Tracker
-    from waymo_2d_tracking_tpu.types import Detections
+    from waymo_2d_tracking_tpu.pipeline.offline import track_detection_rows
 
-    uses_appearance = cfg.tracker.embed_dim > 0 and (
-        cfg.tracker.appearance_weight > 0.0 or cfg.tracker.reid_recovery
-    )
-    if uses_appearance:
-        # detections JSONL carries no appearance embeddings; feeding the
-        # zero vectors into a tracker that actually USES appearance
-        # (appearance_weight > 0 or reid_recovery) makes the appearance
-        # gate reject every match and the output silently collapses to a
-        # handful of records (observed: MOTA 0.94 -> 0.005). Found by
-        # driving the surface — fail fast instead. embed_dim > 0 alone is
-        # harmless: with appearance_weight == 0 and no recovery the cosine
-        # term is never applied (tracker/cost.py guards on lam > 0).
-        raise SystemExit(
-            "track --from-detections: detection files have no embeddings, "
-            "but the tracker config enables appearance association "
-            f"(embed_dim={cfg.tracker.embed_dim}, appearance_weight="
-            f"{cfg.tracker.appearance_weight}, reid_recovery="
-            f"{cfg.tracker.reid_recovery}) over zero vectors. "
-            "Add --set tracker.embed_dim=0 (IoU-only, config-1 semantics)."
-        )
-    rows = subm.read_jsonl(args.from_detections)
-    # group by (context, camera), frames by timestamp
-    by_seg = {}
-    for r in rows:
-        by_seg.setdefault((r.context_name, r.camera_name), []).append(r)
-    all_records = []
-    tracker = Tracker(cfg.tracker)
-    d = cfg.tracker.max_detections
-    from waymo_2d_tracking_tpu.io_out.postprocess import infer_frame_grid
-
-    for (ctx, cam), rs in sorted(by_seg.items()):
-        # Full frame grid, not just timestamps present in the file: a frame
-        # where the detector emitted zero detections must still step the
-        # tracker (aging/coasting) and must be visible to interp_max_gap —
-        # same grid inference as the offline `w2t interp` path.
-        stamps = infer_frame_grid([r.timestamp_micros for r in rs])
-        t_idx = {ts: i for i, ts in enumerate(stamps)}
-        t = len(stamps)
-        boxes = np.zeros((t, d, 4), np.float32)
-        scores = np.zeros((t, d), np.float32)
-        classes = np.zeros((t, d), np.int32)
-        valid = np.zeros((t, d), bool)
-        counts = [0] * t
-        for r in rs:
-            i = t_idx[r.timestamp_micros]
-            j = counts[i]
-            if j >= d:
-                continue
-            boxes[i, j] = r.to_xyxy()
-            scores[i, j] = r.score
-            classes[i, j] = {1: 0, 2: 1, 4: 2}.get(r.object_type, 0)
-            valid[i, j] = True
-            counts[i] += 1
-        dets = Detections(
-            boxes=jnp.asarray(boxes), scores=jnp.asarray(scores),
-            classes=jnp.asarray(classes),
-            embeds=jnp.zeros((t, d, max(cfg.tracker.embed_dim, 1)), jnp.float32),
-            valid=jnp.asarray(valid),
-        )
-        _, outputs = tracker.run(dets)
-        all_records.extend(
-            subm.records_from_track_outputs(
-                outputs, ctx, stamps, cam,
-                interp_max_gap=cfg.pipeline.interp_max_gap,
-            )
-        )
-    n = subm.write_jsonl(args.out, all_records)
+    try:
+        records = track_detection_rows(cfg, subm.read_jsonl(args.from_detections))
+    except ValueError as e:
+        raise SystemExit(str(e))
+    n = subm.write_jsonl(args.out, records)
     print(json.dumps({"records": n, "out": args.out}))
 
 
 def cmd_detect(args):
     """Detection-only inference: writes per-frame detections JSONL."""
+    _enable_compile_cache(args)
     import jax
 
     from waymo_2d_tracking_tpu.pipeline.run import SegmentPipeline
@@ -477,6 +428,7 @@ def cmd_export_savedmodel(args):
     artifact (TF Serving / tf.saved_model.load, no JAX at destination).
     --platform tpu keeps the real Pallas kernels (TPU-only artifact);
     --platform cpu exports the interpret path (runs anywhere TF runs)."""
+    _enable_compile_cache(args)
     import jax
 
     from waymo_2d_tracking_tpu.io_out.export_tf import export_savedmodel
@@ -494,6 +446,39 @@ def cmd_export_savedmodel(args):
                              batch_size=args.batch,
                              platform=args.platform)
     print(json.dumps(info))
+
+
+def cmd_tune(args):
+    """Tracker hyperparameter random search over precomputed detections
+    (pipeline/tune.py): each trial is a full `track --from-detections`
+    run scored with pooled CLEAR-MOT/IDF1 vs --gt. Pure-CPU friendly."""
+    from waymo_2d_tracking_tpu.io_out import submission as subm
+    from waymo_2d_tracking_tpu.pipeline.tune import tune_tracker
+
+    cfg = _load_config(args)
+    det_rows = subm.read_jsonl(args.from_detections)
+    gt_rows = subm.read_jsonl(args.gt)
+    try:
+        report = tune_tracker(
+            det_rows, gt_rows, cfg, trials=args.trials, seed=args.seed,
+            objective=args.objective, iou_threshold=args.iou,
+            workers=args.workers or 0,
+        )
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+    best = report["best"]
+    print(json.dumps({
+        "objective": report["objective"],
+        "best_trial": best["trial"],
+        report["objective"]: best[report["objective"]],
+        "baseline": next((r[report["objective"]] for r in report["results"]
+                          if r["trial"] == -1), None),
+        "set_flags": report["best_overrides"],
+        "out": args.out,
+    }))
 
 
 def cmd_interp(args):
@@ -659,6 +644,7 @@ def cmd_eval_det(args):
 
 
 def cmd_train(args):
+    _enable_compile_cache(args)
     import jax
     import numpy as np
 
@@ -744,6 +730,7 @@ def cmd_train(args):
 
 def cmd_link(args):
     """Cross-camera identity linking over produced track files (+galleries)."""
+    _enable_compile_cache(args)
     from waymo_2d_tracking_tpu.pipeline.link import link_tracks
 
     mesh = None
@@ -809,6 +796,7 @@ def cmd_serve(args):
     """Long-lived serving daemon over one camera stream (pipeline/server.py):
     owns the compiled OnlineTracker session; clients speak the
     length-prefixed JSON protocol over AF_UNIX or localhost TCP."""
+    _enable_compile_cache(args)
     import jax
 
     from waymo_2d_tracking_tpu.pipeline.server import TrackingServer
@@ -963,6 +951,12 @@ def build_parser():
         sp.add_argument("--params", default=None, help="orbax checkpoint path")
         sp.add_argument("--profile", default=None,
                         help="jax.profiler trace output dir (TensorBoard)")
+        sp.add_argument("--compile-cache", dest="compile_cache", default=None,
+                        metavar="DIR|off",
+                        help="persistent XLA compile-cache dir (default "
+                             "$W2T_COMPILE_CACHE or ~/.cache/w2t/jax-cache; "
+                             "'off' disables) — restarted processes skip "
+                             "recompilation")
 
     sp = sub.add_parser("track", help="detect+track segments -> track files")
     common(sp)
@@ -1077,6 +1071,27 @@ def build_parser():
                          "evaluation (val sweeps on multi-core hosts); "
                          "0/1 = serial")
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser(
+        "tune",
+        help="tracker hyperparameter random search over precomputed "
+             "detections, scored vs ground truth (pooled MOTA/IDF1)",
+    )
+    common(sp)
+    sp.add_argument("--from-detections", required=True, dest="from_detections",
+                    help="detections JSONL (w2t detect output)")
+    sp.add_argument("--gt", required=True, help="ground-truth JSONL")
+    sp.add_argument("--trials", type=int, default=20)
+    sp.add_argument("--objective", choices=("mota", "idf1", "motp"),
+                    default="mota")
+    sp.add_argument("--iou", type=float, default=0.5,
+                    help="evaluation IoU threshold")
+    sp.add_argument("--workers", type=int, default=0,
+                    help="trial process-pool size (children force the CPU "
+                         "backend); 0/1 = serial")
+    sp.add_argument("--out", default=None,
+                    help="write the full ranked trial report JSON here")
+    sp.set_defaults(fn=cmd_tune)
 
     sp = sub.add_parser("eval-det",
                         help="COCO-style detection AP (mAP/AP50/AP75) vs GT")
