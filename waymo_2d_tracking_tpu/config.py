@@ -165,8 +165,19 @@ class DetectorConfig:
                                          # (roi_align_multilevel) instead of
                                          # P3 only
     dtype: str = "bfloat16"              # compute dtype for conv trunk
+    quant: str = "off"        # 'int8': w8a8 post-training-quantized conv
+                              # trunk for INFERENCE (models/quant.py — the
+                              # v5e MXU runs int8 at 2x the bf16 rate).
+                              # Requires one calibration pass
+                              # (DetectorRunner.calibrate; the pipelines
+                              # auto-calibrate on their first chunk).
+                              # Training always runs the float path.
 
     def __post_init__(self):
+        if self.quant not in ("off", "int8"):
+            raise ValueError(
+                f"detector.quant must be 'off' or 'int8', got {self.quant!r}"
+            )
         if self.head_family not in ("fcos", "centernet"):
             raise ValueError(
                 f"detector.head_family must be 'fcos' or 'centernet', "

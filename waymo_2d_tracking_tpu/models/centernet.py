@@ -37,11 +37,13 @@ class CenterNetHeads(nn.Module):
     channels: int = 256
     level: int = 3
     dtype: Any = jnp.bfloat16
+    quant: str = "off"   # tower-only; predictor convs stay float (heads.py)
 
     @nn.compact
     def __call__(self, feats: Dict[int, jnp.ndarray]):
         x = feats[self.level]
-        tower = HeadTower(self.depth, self.channels, self.dtype, name="tower")(x)
+        tower = HeadTower(self.depth, self.channels, self.dtype,
+                          quant=self.quant, name="tower")(x)
         heat = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
             bias_init=nn.initializers.constant(-4.595),  # prior p=0.01

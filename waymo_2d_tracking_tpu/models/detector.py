@@ -34,6 +34,24 @@ from waymo_2d_tracking_tpu.types import Detections
 _CLASS_NMS_OFFSET = 1e5
 
 
+def _merge_collection(variables, name: str, updates):
+    """Deep-merge an updated flax collection into a variables dict (a
+    partial apply — e.g. embed-only — returns only the entries it visited,
+    so a plain replacement would drop the rest)."""
+
+    def merge(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            out[k] = merge(dst[k], v) if (
+                k in dst and isinstance(v, dict) and isinstance(dst[k], dict)
+            ) else v
+        return out
+
+    variables = dict(variables)
+    variables[name] = merge(dict(variables.get(name, {})), dict(updates))
+    return variables
+
+
 def _pool_reid_features(p_feats, boxes, cfg: DetectorConfig):
     """RoIAlign pyramid features for ReID — the ONE pooling rule shared by
     inference (_detect_impl) and training (forward_train), so the learned
@@ -61,6 +79,11 @@ class Detector(nn.Module):
     # train-time backbone rematerialization (TrainConfig.remat); inference
     # builds leave this False — see models/resnet.py ResNet.remat
     remat: bool = False
+    # w8a8 inference quantization mode: 'off' (float; ALWAYS used for
+    # training — cfg.quant is inference-only), 'calib' (float + record
+    # activation absmax into the 'quant' collection), 'int8' (quantized
+    # conv trunk; models/quant.py). Param tree is identical in all modes.
+    quant: str = "off"
 
     def setup(self):
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
@@ -76,10 +99,12 @@ class Detector(nn.Module):
         if self.cfg.backbone not in factories:
             raise ValueError(f"unknown backbone {self.cfg.backbone}")
         self.backbone = factories[self.cfg.backbone](
-            dtype=dtype, stem=self.cfg.stem, remat=self.remat
+            dtype=dtype, stem=self.cfg.stem, remat=self.remat,
+            quant=self.quant,
         )
         self.fpn = FPN(channels=self.cfg.fpn_channels,
-                       levels=tuple(self.cfg.fpn_levels), dtype=dtype)
+                       levels=tuple(self.cfg.fpn_levels), dtype=dtype,
+                       quant=self.quant)
         if self.cfg.head_family == "centernet":
             from waymo_2d_tracking_tpu.models.centernet import CenterNetHeads
 
@@ -87,20 +112,20 @@ class Detector(nn.Module):
                 num_classes=self.cfg.num_classes, depth=self.cfg.head_depth,
                 channels=self.cfg.head_channels or self.cfg.fpn_channels,
                 level=self.cfg.centernet_level,
-                dtype=dtype,
+                dtype=dtype, quant=self.quant,
             )
         else:
             self.heads = FCOSHeads(
                 num_classes=self.cfg.num_classes, depth=self.cfg.head_depth,
                 channels=self.cfg.head_channels or self.cfg.fpn_channels,
                 levels=tuple(self.cfg.fpn_levels),
-                dtype=dtype,
+                dtype=dtype, quant=self.quant,
             )
         if self.cfg.embed_dim > 0:
             self.reid = ReIDHead(
                 embed_dim=self.cfg.embed_dim,
                 channels=self.cfg.reid_channels or self.cfg.fpn_channels,
-                dtype=dtype,
+                dtype=dtype, quant=self.quant,
             )
 
     def __call__(self, images, train: bool = False):
@@ -291,14 +316,47 @@ class DetectorRunner:
 
     def __init__(self, cfg: Optional[DetectorConfig] = None, interpret: bool | None = None):
         self.cfg = cfg or DetectorConfig()
-        self.module = Detector(self.cfg)
+        self.module = Detector(self.cfg, quant=self.cfg.quant)
         self._interpret = interpret
         self._detect = jax.jit(self._detect_impl)
+        if self.cfg.quant != "off":
+            self._calib_module = Detector(self.cfg, quant="calib")
+            self._calibrate = jax.jit(self._calibrate_impl)
 
     def init_params(self, rng, batch_size: int = 1):
         h, w = self.cfg.image_size
         images = jnp.zeros((batch_size, h, w, 3), jnp.float32)
         return self.module.init(rng, images, method=Detector.init_all)
+
+    def calibrate(self, params, images):
+        """One PTQ calibration pass (cfg.quant='int8'): run the FLOAT
+        forward on representative images and fold the recorded per-conv
+        activation absmax into the returned variables ('quant' collection).
+        Call repeatedly to accumulate over several batches (absmax is a
+        running maximum); detect() then uses the frozen scales."""
+        if self.cfg.quant == "off":
+            return params
+        return self._calibrate(params, images)
+
+    def _calibrate_impl(self, params, images):
+        (head_out, p_feats), upd = self._calib_module.apply(
+            params, images, mutable=["quant"]
+        )
+        params = _merge_collection(params, "quant", upd["quant"])
+        if self.cfg.embed_dim > 0:
+            # calibrate the ReID tower on REAL pooled features (its input
+            # distribution), via the same postprocess as _detect_impl
+            boxes, _, _, _ = postprocess_batched(
+                head_out, self.cfg, interpret=self._interpret
+            )
+            pooled = _pool_reid_features(p_feats, boxes, self.cfg)
+            n, d = boxes.shape[:2]
+            flat = pooled.reshape((n * d,) + pooled.shape[2:])
+            _, upd2 = self._calib_module.apply(
+                params, flat, method=Detector.embed, mutable=["quant"]
+            )
+            params = _merge_collection(params, "quant", upd2["quant"])
+        return params
 
     def _detect_impl(self, params, images) -> Detections:
         """Whole-batch detect: no Python loop over images — candidate top-k,

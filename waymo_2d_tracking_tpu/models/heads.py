@@ -12,17 +12,21 @@ from typing import Any, Dict, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from waymo_2d_tracking_tpu.models.quant import make_conv
+
 
 class HeadTower(nn.Module):
     depth: int = 4
     channels: int = 256
     dtype: Any = jnp.bfloat16
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.depth):
-            x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = make_conv(self.quant, features=self.channels,
+                          kernel_size=(3, 3), padding=[(1, 1), (1, 1)],
+                          dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"gn{i}")(x)
             x = nn.relu(x)
         return x
@@ -40,11 +44,17 @@ class FCOSHeads(nn.Module):
     channels: int = 256
     levels: Sequence[int] = (3, 4, 5, 6, 7)
     dtype: Any = jnp.bfloat16
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, feats: Dict[int, jnp.ndarray]):
-        cls_tower = HeadTower(self.depth, self.channels, self.dtype, name="cls_tower")
-        box_tower = HeadTower(self.depth, self.channels, self.dtype, name="box_tower")
+        cls_tower = HeadTower(self.depth, self.channels, self.dtype,
+                              quant=self.quant, name="cls_tower")
+        box_tower = HeadTower(self.depth, self.channels, self.dtype,
+                              quant=self.quant, name="box_tower")
+        # predictor convs stay float: their outputs are decoded through
+        # sigmoid/exp where int8 step noise moves scores directly, and at
+        # 3-8 output channels they are a rounding error of the FLOP budget
         cls_conv = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
             bias_init=nn.initializers.constant(-4.595),  # prior p=0.01 focal init

@@ -13,6 +13,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from waymo_2d_tracking_tpu.models.quant import make_conv
+
 
 class ReIDHead(nn.Module):
     """(R, P, P, C) pooled features -> (R, E) L2-normalized embeddings."""
@@ -20,13 +22,15 @@ class ReIDHead(nn.Module):
     embed_dim: int = 128
     channels: int = 256
     dtype: Any = jnp.bfloat16
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, pooled: jnp.ndarray) -> jnp.ndarray:
         x = pooled.astype(self.dtype)
         for i in range(2):
-            x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = make_conv(self.quant, features=self.channels,
+                          kernel_size=(3, 3), padding=[(1, 1), (1, 1)],
+                          dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"gn{i}")(x)
             x = nn.relu(x)
         x = jnp.mean(x, axis=(1, 2))                       # global average pool

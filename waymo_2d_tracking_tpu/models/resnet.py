@@ -19,6 +19,8 @@ from typing import Any, Dict, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from waymo_2d_tracking_tpu.models.quant import make_conv
+
 
 class Bottleneck(nn.Module):
     """1x1 -> 3x3 -> 1x1 bottleneck with BN and projection shortcut."""
@@ -26,6 +28,7 @@ class Bottleneck(nn.Module):
     features: int            # bottleneck width; output is 4x this
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    quant: str = "off"       # w8a8 inference quantization (models/quant.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -36,23 +39,26 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
             name=name,
         )
+        conv = lambda *a, **kw: make_conv(self.quant, *a, **kw)  # noqa: E731
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = conv(features=self.features, kernel_size=(1, 1), use_bias=False,
+                 dtype=self.dtype, name="conv1")(x)
         y = norm("bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
-                    name="conv2")(y)
+        y = conv(features=self.features, kernel_size=(3, 3),
+                 strides=(self.stride, self.stride),
+                 padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+                 name="conv2")(y)
         y = norm("bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv3")(y)
+        y = conv(features=self.features * 4, kernel_size=(1, 1),
+                 use_bias=False, dtype=self.dtype, name="conv3")(y)
         y = norm("bn3")(y)
 
         if residual.shape[-1] != self.features * 4 or self.stride != 1:
-            residual = nn.Conv(
-                self.features * 4, (1, 1), strides=(self.stride, self.stride),
+            residual = conv(
+                features=self.features * 4, kernel_size=(1, 1),
+                strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
             residual = norm("downsample_bn")(residual)
@@ -65,6 +71,7 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -75,18 +82,22 @@ class BasicBlock(nn.Module):
             dtype=self.dtype,
             name=name,
         )
+        conv = lambda *a, **kw: make_conv(self.quant, *a, **kw)  # noqa: E731
         residual = x
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = conv(features=self.features, kernel_size=(3, 3),
+                 strides=(self.stride, self.stride),
+                 padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+                 name="conv1")(x)
         y = norm("bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = conv(features=self.features, kernel_size=(3, 3),
+                 padding=[(1, 1), (1, 1)],
+                 use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = norm("bn2")(y)
         if residual.shape[-1] != self.features or self.stride != 1:
-            residual = nn.Conv(
-                self.features, (1, 1), strides=(self.stride, self.stride),
+            residual = conv(
+                features=self.features, kernel_size=(1, 1),
+                strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
             residual = norm("downsample_bn")(residual)
@@ -141,19 +152,22 @@ class ResNet(nn.Module):
     # inference paths leave this False (jax.checkpoint's optimization
     # barriers can inhibit forward fusion).
     remat: bool = False
+    quant: str = "off"   # w8a8 inference quantization (models/quant.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[int, jnp.ndarray]:
         x = x.astype(self.dtype)
         if self.stem == "s2d":
             x = space_to_depth_2x2(x)
-            x = nn.Conv(self.width, (4, 4), strides=(1, 1),
-                        padding=[(2, 1), (2, 1)], use_bias=False,
-                        dtype=self.dtype, name="stem_conv")(x)
+            x = make_conv(self.quant, features=self.width, kernel_size=(4, 4),
+                          strides=(1, 1),
+                          padding=[(2, 1), (2, 1)], use_bias=False,
+                          dtype=self.dtype, name="stem_conv")(x)
         else:
-            x = nn.Conv(self.width, (7, 7), strides=(2, 2),
-                        padding=[(3, 3), (3, 3)], use_bias=False,
-                        dtype=self.dtype, name="stem_conv")(x)
+            x = make_conv(self.quant, features=self.width, kernel_size=(7, 7),
+                          strides=(2, 2),
+                          padding=[(3, 3), (3, 3)], use_bias=False,
+                          dtype=self.dtype, name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
@@ -171,6 +185,7 @@ class ResNet(nn.Module):
                 stride = 2 if (block == 0 and stage > 0) else 1
                 x = block_cls(
                     features=width, stride=stride, dtype=self.dtype,
+                    quant=self.quant,
                     name=f"stage{stage + 1}_block{block}",
                 )(x, train)
             feats[stage + 2] = x  # C2 (/4) .. C5 (/32)
@@ -178,31 +193,31 @@ class ResNet(nn.Module):
 
 
 def ResNet18(dtype: Any = jnp.bfloat16, stem: str = "conv7",
-             remat: bool = False) -> ResNet:
+             remat: bool = False, quant: str = "off") -> ResNet:
     return ResNet(stage_sizes=(2, 2, 2, 2), width=64, block="basic",
-                  stem=stem, dtype=dtype, remat=remat)
+                  stem=stem, dtype=dtype, remat=remat, quant=quant)
 
 
 def ResNet34(dtype: Any = jnp.bfloat16, stem: str = "conv7",
-             remat: bool = False) -> ResNet:
+             remat: bool = False, quant: str = "off") -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), width=64, block="basic",
-                  stem=stem, dtype=dtype, remat=remat)
+                  stem=stem, dtype=dtype, remat=remat, quant=quant)
 
 
 def ResNet50(dtype: Any = jnp.bfloat16, stem: str = "conv7",
-             remat: bool = False) -> ResNet:
+             remat: bool = False, quant: str = "off") -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), width=64, stem=stem, dtype=dtype,
-                  remat=remat)
+                  remat=remat, quant=quant)
 
 
 def ResNet101(dtype: Any = jnp.bfloat16, stem: str = "conv7",
-              remat: bool = False) -> ResNet:
+              remat: bool = False, quant: str = "off") -> ResNet:
     return ResNet(stage_sizes=(3, 4, 23, 3), width=64, stem=stem, dtype=dtype,
-                  remat=remat)
+                  remat=remat, quant=quant)
 
 
 def ResNet18Slim(dtype: Any = jnp.bfloat16, stem: str = "conv7",
-                 remat: bool = False) -> ResNet:
+                 remat: bool = False, quant: str = "off") -> ResNet:
     """Small twin for tests (same structure, 1-block stages)."""
     return ResNet(stage_sizes=(1, 1, 1, 1), width=16, stem=stem, dtype=dtype,
-                  remat=remat)
+                  remat=remat, quant=quant)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import json
+import logging
 import os
 import time
 from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
@@ -176,6 +177,7 @@ class SegmentPipeline:
                 rng, batch_size=cfg.pipeline.chunk_frames
             )
         self.params = params
+        self._calibrated = False
         # donate the carried tracker state: the old table's buffers (cov is
         # S*64 floats) are reused in place instead of reallocated per chunk
         self._chunk_step = jax.jit(
@@ -185,6 +187,27 @@ class SegmentPipeline:
         self._detect_chunk = jax.jit(
             self._detect_chunk_impl, static_argnames=("src_hw",)
         )
+
+    def ensure_calibrated(self, frames_u8, src_hw) -> None:
+        """PTQ auto-calibration (detector.quant='int8'): record activation
+        scales from the first real chunk (SURVEY-style host boundary: one
+        extra float pass, once per process). No-op for float configs, for
+        already-calibrated params (e.g. restored from a calibrated
+        checkpoint), and after the first call."""
+        if self._calibrated or self.cfg.detector.quant == "off":
+            return
+        from waymo_2d_tracking_tpu.models.quant import is_calibrated
+
+        if not is_calibrated(self.params):
+            images, _ = letterbox_batch(
+                jnp.asarray(frames_u8), src_hw, self.cfg.detector.image_size
+            )
+            self.params = self.detector.calibrate(self.params, images)
+            logging.getLogger(__name__).info(
+                "int8 PTQ: calibrated activation scales on one %s-frame chunk",
+                images.shape[0],
+            )
+        self._calibrated = True
 
     def _detect_chunk_impl(self, params, frames_u8, src_hw):
         """Detection-only chunk (config-1 producer / `detect` CLI).
@@ -260,6 +283,7 @@ class SegmentPipeline:
             depth=cfg.pipeline.prefetch_depth,
         ) as prefetcher:
             for dev_chunk in prefetcher:
+                self.ensure_calibrated(dev_chunk, src_hw)
                 if detections_only:
                     dets, scale = self._detect_chunk(
                         self.params, dev_chunk, src_hw
