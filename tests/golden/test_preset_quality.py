@@ -57,6 +57,19 @@ def test_fast_preset_quality_floor():
     assert m.num_idsw <= 12, m.as_dict()
 
 
+def test_headline_int8_shares_headline_tracker():
+    """headline_int8.yaml differs from headline.yaml ONLY in
+    detector.quant — identical tracker config, so identical golden-clip
+    tracker quality by construction (the int8 DETECTOR numerics are bounded
+    separately in tests/unit/test_quant.py)."""
+    import dataclasses
+
+    a = load_config(os.path.join(CONFIGS_DIR, "headline_int8.yaml"))
+    b = load_config(os.path.join(CONFIGS_DIR, "headline.yaml"))
+    assert a.tracker == b.tracker
+    assert dataclasses.replace(a.detector, quant="off") == b.detector
+
+
 def test_headline_centernet_preset_quality_floor():
     """headline_centernet.yaml differs from headline.yaml ONLY in
     detector.head_family — its tracker settings (and therefore this

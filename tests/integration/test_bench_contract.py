@@ -120,3 +120,30 @@ def test_online_latency_bench_contract():
     assert out["metric"] == "online_serving_latency_p50_ms"
     assert out["value"] > 0
     assert out["vs_baseline"] > 0
+
+
+def test_online_multicam_latency_bench_contract():
+    """bench.py --latency --multicam payload shape (rig tick timing)."""
+    from waymo_2d_tracking_tpu.config import (
+        Config,
+        DetectorConfig,
+        TrackerConfig,
+    )
+    from waymo_2d_tracking_tpu.pipeline.bench_e2e import (
+        run_online_latency_bench,
+    )
+
+    cfg = Config(
+        detector=DetectorConfig(
+            backbone="resnet18slim", image_size=(64, 96), fpn_channels=32,
+            head_depth=1, pre_nms_topk=32, max_detections=8, embed_dim=0,
+            dtype="float32", score_threshold=0.01,
+        ),
+        tracker=TrackerConfig(max_tracks=16, max_detections=8, embed_dim=0),
+    )
+    out = run_online_latency_bench(num_frames=3, config=cfg, multicam=True,
+                                   num_cams=2)
+    assert set(out) == {"metric", "value", "unit", "vs_baseline"}
+    assert out["metric"] == "online_multicam_serving_latency_p50_ms"
+    assert "rig tick (2 cams)" in out["unit"]
+    assert out["value"] > 0

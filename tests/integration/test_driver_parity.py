@@ -1,0 +1,165 @@
+"""Cross-driver detection-dispatch parity (VERDICT r3 missing #3 closure).
+
+All four drivers (SegmentPipeline, MultiCamPipeline, OnlineTracker,
+OnlineMultiCamTracker) must produce identical track outputs for the same
+frames under a TTA preset — i.e. every driver honors the ONE detection
+dispatch rule (pipeline/run.py dispatch_detect). Before round 4 the two
+multicam drivers called the plain ``_detect_impl`` directly, so a TTA
+preset run with `--multicam` silently dropped TTA.
+
+The comparison is per-(camera, frame) on the TrackOutputs pytree. Detector
+batch sizes differ per driver by design (T vs T*C vs 1 vs C), so floats are
+compared with a tight tolerance rather than bitwise; integer outputs
+(track ids, classes, valid) must match exactly — an id flip or a
+detection-count mismatch is precisely the dropped-TTA bug class.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waymo_2d_tracking_tpu.config import (
+    Config,
+    DetectorConfig,
+    PipelineConfig,
+    TrackerConfig,
+)
+from waymo_2d_tracking_tpu.models.detector import DetectorRunner
+from waymo_2d_tracking_tpu.pipeline.multicam import (
+    MultiCamPipeline,
+    init_multicam_state,
+)
+from waymo_2d_tracking_tpu.pipeline.online import (
+    OnlineMultiCamTracker,
+    OnlineTracker,
+)
+from waymo_2d_tracking_tpu.pipeline.run import SegmentPipeline
+from waymo_2d_tracking_tpu.tracker import init_state
+
+T, C = 4, 2
+HW = (64, 96)
+
+TTA_CFG = Config(
+    detector=DetectorConfig(
+        backbone="resnet18slim", image_size=HW, fpn_channels=32,
+        head_depth=1, pre_nms_topk=32, max_detections=8, embed_dim=0,
+        dtype="float32", score_threshold=0.01,
+    ),
+    tracker=TrackerConfig(max_tracks=16, max_detections=8, embed_dim=0,
+                          score_threshold=0.0, birth_score_threshold=0.0,
+                          n_init=1),
+    pipeline=PipelineConfig(chunk_frames=T, tta_flip=True),
+)
+
+
+def _frames():
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 255, (T, C) + HW + (3,), dtype=np.uint8)
+
+
+def _assert_outputs_equal(a, b, what: str):
+    """a, b: per-camera TrackOutputs pytrees with leading axis T."""
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for xa, xb in zip(la, lb):
+        xa, xb = np.asarray(xa), np.asarray(xb)
+        assert xa.shape == xb.shape, what
+        if np.issubdtype(xa.dtype, np.floating):
+            np.testing.assert_allclose(xa, xb, rtol=1e-4, atol=1e-4,
+                                       err_msg=what)
+        else:
+            np.testing.assert_array_equal(xa, xb, err_msg=what)
+
+
+@pytest.fixture(scope="module")
+def parity_runs():
+    cfg = TTA_CFG
+    frames = _frames()
+    params = DetectorRunner(cfg.detector).init_params(jax.random.PRNGKey(3))
+
+    # driver 1: SegmentPipeline, one camera at a time (chunk == T)
+    seg = SegmentPipeline(cfg, params=params)
+    seg_out = []
+    for c in range(C):
+        state = init_state(cfg.tracker)
+        _, outputs, _ = seg._chunk_step(
+            params, state, jnp.asarray(frames[:, c]), HW)
+        seg_out.append(jax.device_get(outputs))
+
+    # driver 2: MultiCamPipeline, all cameras in one shared-backbone batch
+    mc = MultiCamPipeline(cfg, num_cams=C, params=params)
+    states = init_multicam_state(cfg, C)
+    _, mc_outputs, _ = mc._chunk_step(params, states, jnp.asarray(frames), HW)
+    mc_out = jax.device_get(mc_outputs)
+
+    # driver 3: OnlineTracker, frame by frame per camera
+    on_out = []
+    for c in range(C):
+        sess = OnlineTracker(cfg, params=params)
+        outs = []
+        state = sess.state
+        for t in range(T):
+            state, o, _ = sess._step(params, state, frames[t, c], HW)
+            outs.append(jax.device_get(o))
+        on_out.append(jax.tree.map(lambda *xs: np.stack(xs), *outs))
+
+    # driver 4: OnlineMultiCamTracker, rig ticks
+    rig = OnlineMultiCamTracker(cfg, camera_names=list(range(1, C + 1)),
+                                params=params)
+    states = rig.states
+    rig_outs = []
+    for t in range(T):
+        states, o, _ = rig._step(params, states, frames[t], HW)
+        rig_outs.append(jax.device_get(o))
+    rig_out = jax.tree.map(lambda *xs: np.stack(xs), *rig_outs)
+
+    return seg_out, mc_out, on_out, rig_out
+
+
+def test_tta_actually_changes_detections(parity_runs):
+    """Guard the guard: the TTA preset must produce different outputs than
+    the plain forward, otherwise this file would pass vacuously."""
+    import dataclasses
+
+    cfg = TTA_CFG
+    frames = _frames()
+    params = DetectorRunner(cfg.detector).init_params(jax.random.PRNGKey(3))
+    plain_cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, tta_flip=False))
+    seg_tta, _ = parity_runs[0], None
+    plain = SegmentPipeline(plain_cfg, params=params)
+    state = init_state(cfg.tracker)
+    _, outputs, _ = plain._chunk_step(
+        params, state, jnp.asarray(frames[:, 0]), HW)
+    plain_out = jax.device_get(outputs)
+    diff = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(seg_tta[0]),
+                        jax.tree_util.tree_leaves(plain_out))
+    )
+    assert diff, "flip-TTA made no difference — vacuous parity test"
+
+
+def test_multicam_matches_segment(parity_runs):
+    seg_out, mc_out, _, _ = parity_runs
+    for c in range(C):
+        cam = jax.tree.map(lambda x: x[:, c], mc_out)
+        _assert_outputs_equal(seg_out[c], cam,
+                              f"MultiCamPipeline camera {c} vs SegmentPipeline")
+
+
+def test_online_matches_segment(parity_runs):
+    seg_out, _, on_out, _ = parity_runs
+    for c in range(C):
+        _assert_outputs_equal(seg_out[c], on_out[c],
+                              f"OnlineTracker camera {c} vs SegmentPipeline")
+
+
+def test_online_multicam_matches_segment(parity_runs):
+    seg_out, _, _, rig_out = parity_runs
+    for c in range(C):
+        cam = jax.tree.map(lambda x: x[:, c], rig_out)
+        _assert_outputs_equal(
+            seg_out[c], cam,
+            f"OnlineMultiCamTracker camera {c} vs SegmentPipeline")

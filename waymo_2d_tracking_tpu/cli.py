@@ -185,7 +185,11 @@ def _track_online(cfg, args):
         sess.reset(clear_latency=True)
         sess.context_name = seg.context_name
         sess.camera_name = seg.camera_name
-        src_hw = seg.source_hw()
+        # compressed frames decode at decode_scale_denom inside the session
+        # (same effective source resolution as the chunked drivers), so the
+        # step compiles for the SCALED size; pre-decoded arrays pass through
+        src_hw = (seg.scaled_hw(cfg.pipeline.decode_scale_denom)
+                  if seg.jpeg_frames is not None else seg.source_hw())
         if warmed != src_hw:
             sess.warmup(src_hw)
             warmed = src_hw
@@ -261,7 +265,11 @@ def _track_online_multicam(cfg, args):
         sess.reset(clear_latency=True)
         sess.context_name = ctx
         sess.camera_names = [s.camera_name for s in segs]
-        src_hw = segs[0].source_hw()
+        # compressed ticks decode at decode_scale_denom inside the session
+        # (one batched native decode per tick) — warm at the scaled size
+        src_hw = (segs[0].scaled_hw(cfg.pipeline.decode_scale_denom)
+                  if segs[0].jpeg_frames is not None
+                  else segs[0].source_hw())
         if warmed != src_hw:
             sess.warmup(src_hw)
             warmed = src_hw

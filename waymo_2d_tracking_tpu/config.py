@@ -97,9 +97,6 @@ class TrackerConfig:
     # MOTA/IDSW to 1e-3 on the golden clip, with fewer eps phases per frame
     auction_eps_min: float = 1e-2
     auction_max_iters: int = 4096     # per-phase bidding iteration cap
-    fused_stage1: bool = False        # run stage-1 cost+gate+auction as ONE
-                                      # Pallas kernel (ops/fused_assoc.py) —
-                                      # fewer per-frame dispatches in the scan
 
     def __post_init__(self):
         # a typo'd yaml value ('greeedy') used to fall through silently to

@@ -36,6 +36,9 @@ def make_detect_fn(cfg, variables, platform: str):
     if platform not in ("cpu", "tpu"):
         raise ValueError(f"platform must be 'cpu' or 'tpu', got {platform!r}")
     runner = DetectorRunner(cfg, interpret=(platform == "cpu"))
+    # int8 export bakes the activation scales into the artifact forever —
+    # refuse uncalibrated params here rather than shipping garbage scales
+    runner.check_calibrated(variables)
     # freeze weights into the graph; jax2tf stages them as TF constants
     variables = jax.tree.map(np.asarray, variables)
 

@@ -322,6 +322,10 @@ class DetectorRunner:
         if self.cfg.quant != "off":
             self._calib_module = Detector(self.cfg, quant="calib")
             self._calibrate = jax.jit(self._calibrate_impl)
+        # identity of the last param tree that passed the calibration guard
+        # (is_calibrated syncs every 'quant' leaf to host — too costly per
+        # detect() call; params are immutable pytrees, so id() is a safe key)
+        self._calib_ok_params: Optional[int] = None
 
     def init_params(self, rng, batch_size: int = 1):
         h, w = self.cfg.image_size
@@ -346,10 +350,14 @@ class DetectorRunner:
         if self.cfg.embed_dim > 0:
             # calibrate the ReID tower on REAL pooled features (its input
             # distribution), via the same postprocess as _detect_impl
-            boxes, _, _, _ = postprocess_batched(
+            boxes, _, _, valid = postprocess_batched(
                 head_out, self.cfg, interpret=self._interpret
             )
             pooled = _pool_reid_features(p_feats, boxes, self.cfg)
+            # zero out invalid/padded slots: their RoIAlign output is a
+            # degenerate-box artifact, not a serving-time input — letting it
+            # into the absmax would skew the ReID tower's scales (ADVICE r3)
+            pooled = pooled * valid[..., None, None, None].astype(pooled.dtype)
             n, d = boxes.shape[:2]
             flat = pooled.reshape((n * d,) + pooled.shape[2:])
             _, upd2 = self._calib_module.apply(
@@ -380,6 +388,32 @@ class DetectorRunner:
             embeds=embeds, valid=valid,
         )
 
+    def check_calibrated(self, params) -> None:
+        """Refuse to serve uncalibrated int8 (ADVICE r3 high): zero absmax
+        falls back to scale 1.0 inside QuantConv — finite but wrong-scale
+        outputs with no error. Every serving driver calibrates on its first
+        real frames (pipeline/run.py calibrate_params_from_frames); anything
+        that reaches a quantized forward without that step is a bug, and
+        this raises instead of silently serving garbage.
+
+        Host-syncs the 'quant' leaves once per param tree (memoized by id —
+        params are immutable pytrees)."""
+        if self.cfg.quant == "off" or self._calib_ok_params == id(params):
+            return
+        from waymo_2d_tracking_tpu.models.quant import is_calibrated
+
+        if not is_calibrated(params):
+            raise RuntimeError(
+                "detector.quant='int8' but the params carry no calibrated "
+                "activation scales ('quant' collection absmax == 0). Run "
+                "DetectorRunner.calibrate(params, representative_images) "
+                "first — the pipeline drivers do this automatically on "
+                "their first chunk (SegmentPipeline/MultiCamPipeline/"
+                "OnlineTracker), or restore a calibrated checkpoint."
+            )
+        self._calib_ok_params = id(params)
+
     def detect(self, params, images) -> Detections:
         """images (N, H, W, 3) float32 [0,1]-ish -> batched Detections (N, D, ...)."""
+        self.check_calibrated(params)
         return self._detect(params, images)

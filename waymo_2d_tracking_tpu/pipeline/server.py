@@ -113,7 +113,13 @@ class TrackingServer:
         else:
             self.sess = OnlineTracker(cfg, params=params, rng=rng,
                                       camera_name=camera_name)
+        self.cfg = cfg
         self._warmed: Optional[Tuple[int, int]] = None
+        # full-res (H, W) of the client's compressed stream, probed once —
+        # compressed payloads pass through to the session, which decodes at
+        # pipeline.decode_scale_denom (scaled decode + box-scale accounting
+        # live in ONE place, pipeline/online.py _FrameDecoder)
+        self._jpeg_src_hw: Optional[Tuple[int, int]] = None
         self.requests_served = 0
 
     def warmup(self, src_hw) -> float:
@@ -126,10 +132,11 @@ class TrackingServer:
 
     # -- request handlers --------------------------------------------------
     def _decode_frames(self, header: dict, payload: bytes):
-        """Header+payload -> decoded uint8 frame (single) or list (rig)."""
+        """Header+payload -> step() input: decoded uint8 array(s) for raw
+        payloads; raw JPEG bytes for compressed ones (the session decodes
+        at the preset's decode_scale_denom and owns the box-scale
+        accounting — pre-decoding here would silently serve full-res)."""
         import numpy as np
-
-        from waymo_2d_tracking_tpu.data.preprocess import decode_jpeg_host
 
         if "shape" in header:  # raw uint8, already decoded by the client
             arr = np.frombuffer(payload, np.uint8).reshape(header["shape"])
@@ -137,35 +144,51 @@ class TrackingServer:
         if "jpeg_lens" in header:  # N concatenated JPEGs (rig)
             frames, off = [], 0
             for n in header["jpeg_lens"]:
-                frames.append(decode_jpeg_host(payload[off:off + int(n)]))
+                frames.append(bytes(payload[off:off + int(n)]))
                 off += int(n)
             return frames
-        return decode_jpeg_host(bytes(payload))  # single JPEG
+        return bytes(payload)  # single JPEG
+
+    def _step_src_hw(self, frames) -> Tuple[int, int]:
+        """(H, W) the serving step will see for these frames: raw arrays
+        as-is; compressed streams at decode_scale_denom (full-res probed
+        once per stream — resolution is fixed per stream, the same
+        assumption the jitted step's static src_hw makes)."""
+        import numpy as np
+
+        first = frames[0] if isinstance(frames, list) else frames
+        if isinstance(first, (bytes, bytearray)):
+            if self._jpeg_src_hw is None:
+                from waymo_2d_tracking_tpu.data.preprocess import (
+                    decode_jpeg_host,
+                )
+
+                self._jpeg_src_hw = tuple(
+                    decode_jpeg_host(bytes(first)).shape[:2]
+                )
+            h, w = self._jpeg_src_hw
+            sd = self.cfg.pipeline.decode_scale_denom
+            return (-(-h // sd), -(-w // sd))
+        arr = np.asarray(first)
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(
+                f"frame must be HxWx3 uint8, got shape {tuple(arr.shape)}"
+                + ("" if self.multicam
+                   else " (multicam payload against a single-camera server?)")
+            )
+        return tuple(arr.shape[:2])
 
     def _handle_frame(self, header: dict, payload: bytes) -> dict:
         frames = self._decode_frames(header, payload)
         # validate BEFORE warmup: a wrong-rank 'shape' header must not
         # trigger a garbage-shape XLA compile (minutes on a real backend)
         # while the single-threaded server blocks for every other client
-        if self.multicam:
-            if len(frames) != self.sess.num_cams:
-                raise ValueError(
-                    f"rig has {self.sess.num_cams} cameras, "
-                    f"got {len(frames)} frames"
-                )
-            bad = [tuple(f.shape) for f in frames
-                   if f.ndim != 3 or f.shape[-1] != 3]
-            if bad:
-                raise ValueError(f"rig frames must be HxWx3 uint8, got {bad}")
-            src_hw = tuple(frames[0].shape[:2])
-        else:
-            if frames.ndim != 3 or frames.shape[-1] != 3:
-                raise ValueError(
-                    f"frame must be HxWx3 uint8, got shape "
-                    f"{tuple(frames.shape)} (multicam payload against a "
-                    "single-camera server?)"
-                )
-            src_hw = tuple(frames.shape[:2])
+        if self.multicam and len(frames) != self.sess.num_cams:
+            raise ValueError(
+                f"rig has {self.sess.num_cams} cameras, "
+                f"got {len(frames)} frames"
+            )
+        src_hw = self._step_src_hw(frames)
         if self._warmed != src_hw:
             self.warmup(src_hw)
         records = self.sess.step(frames, int(header["timestamp_micros"]))

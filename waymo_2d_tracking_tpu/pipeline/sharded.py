@@ -165,6 +165,9 @@ class ShardedSegmentRunner:
                 frames = np.stack(blocks)                   # (G, chunk, H, W, 3)
                 if src_hw is None:
                     src_hw = tuple(frames.shape[2:4])
+                # PTQ calibration (int8): shard 0's first real chunk — the
+                # sharded path used to bypass SegmentPipeline's hook entirely
+                self.pipeline.ensure_calibrated(frames[0], src_hw)
                 dev_frames = jax.device_put(frames, batch_sharding)
                 if detections_only:
                     outputs = self._sharded_detect_step(src_hw)(
@@ -343,6 +346,8 @@ class ShardedMultiCamRunner:
                 frames = np.stack(blocks)     # (G, chunk, cams, H, W, 3)
                 if src_hw is None:
                     src_hw = tuple(frames.shape[3:5])
+                # PTQ calibration (int8) on shard 0's first multicam chunk
+                self.pipeline.ensure_calibrated(frames[0], src_hw)
                 dev_frames = jax.device_put(frames, batch_sharding)
                 step = self._sharded_step(src_hw)
                 states, outputs = step(self.pipeline.params, states, dev_frames)

@@ -84,28 +84,12 @@ def track_step(
     )
 
     # 2. Stage-1 association: active tracks x detections (IoU + appearance).
-    # The fused kernel covers the plain IoU+cosine cost only; Mahalanobis
-    # motion gating (motion_gate > 0) needs the covariance, and buffered IoU
-    # (iou_buffer > 0) changes the IoU itself — both use the unfused path
-    # (fused_stage1 is default-off anyway — measured slower, DESIGN.md §5.3).
-    if (cfg.fused_stage1 and cfg.motion_gate == 0.0 and cfg.iou_buffer == 0.0
-            and cfg.assignment == "auction"):
-        from waymo_2d_tracking_tpu.ops.fused_assoc import fused_stage1_assign
-
-        lam = cfg.appearance_weight if cfg.embed_dim > 0 else 0.0
-        row_to_col, col_to_row = fused_stage1_assign(
-            state.mean, state.embed, state.classes, active,
-            dets.boxes, dets.embeds, dets.classes, det_valid,
-            appearance_weight=lam,
-            iou_threshold=cfg.iou_threshold,
-            appearance_gate=cfg.appearance_gate,
-            eps_scale=cfg.auction_eps_scale,
-            eps_min=cfg.auction_eps_min,
-            max_iters=cfg.auction_max_iters,
-        )
-    else:
-        c1, f1 = cost_mod.stage1_cost(state, dets, det_valid, active, cfg)
-        row_to_col, col_to_row = _assign(c1, f1, active, det_valid, cfg)
+    # A fully-fused Pallas cost+gate+auction kernel was built and measured
+    # slower than this two-call form (683 vs 645 µs/frame; DESIGN.md
+    # "Closed roadmap items" #3) — removed in round 4, recoverable from git
+    # history (ops/fused_assoc.py).
+    c1, f1 = cost_mod.stage1_cost(state, dets, det_valid, active, cfg)
+    row_to_col, col_to_row = _assign(c1, f1, active, det_valid, cfg)
 
     embed_update = None
     if cfg.byte_low_threshold > 0.0:
