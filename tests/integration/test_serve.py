@@ -72,6 +72,49 @@ def test_serve_roundtrip(tmp_path):
     assert not os.path.exists(sock)  # unlinked on shutdown
 
 
+def test_serve_scaled_decode_roundtrip(tmp_path):
+    """decode_scale_denom=2 over the wire (round 4): compressed payloads
+    decode scaled IN THE SESSION (not full-res in the server), records map
+    back to full-res pixels, and --warmup H W (full-res dims) pre-compiles
+    the scaled step shape so the first compressed frame pays no compile."""
+    import cv2
+
+    sock = str(tmp_path / "w2t_sd.sock")
+    argv = ["serve", "--socket", sock, "--max-requests", "10",
+            "--warmup", "128", "192", "--set"] + TINY + [
+            "pipeline.decode_scale_denom=2"]
+    th = threading.Thread(target=cli.main, args=(argv,), daemon=True)
+    th.start()
+    for _ in range(1200):
+        if os.path.exists(sock):
+            break
+        time.sleep(0.1)
+    else:
+        pytest.fail("server socket never appeared (compile hang?)")
+
+    rng = np.random.default_rng(1)
+    # full-res 128x192 source; the session steps at 64x96 (denom 2)
+    frame = rng.integers(0, 255, (128, 192, 3), dtype=np.uint8)
+    frame[40:90, 60:150] = 255  # a bright blob so something detects
+    jpeg = cv2.imencode(".jpg", frame[:, :, ::-1])[1].tobytes()
+
+    with TrackingClient(socket_path=sock) as c:
+        r = c.step(jpeg, timestamp_micros=100)
+        assert r["ok"], r
+        for rec in r["records"]:
+            # box coordinates must be in FULL-RES pixels: anything beyond
+            # the scaled 64x96 frame proves the /denom composition applied
+            assert 0 <= rec["center_x"] <= 192 + 8
+            assert 0 <= rec["center_y"] <= 128 + 8
+        # raw full-res array payload still works in the same server (its
+        # own warmed shape)
+        r2 = c.step(frame, timestamp_micros=200)
+        assert r2["ok"], r2
+        c.close_server()
+    th.join(timeout=60)
+    assert not th.is_alive()
+
+
 def test_serve_rejects_bad_message(tmp_path):
     """Unknown message types get {"ok": false}, and the server survives."""
     from waymo_2d_tracking_tpu.config import load_config

@@ -818,7 +818,10 @@ def cmd_serve(args):
                             camera_name=args.camera,
                             multicam=args.multicam)
     if args.warmup:
-        server.warmup((int(args.warmup[0]), int(args.warmup[1])))
+        # --warmup takes FULL-RES source dims; this compiles both the raw
+        # shape and (decode_scale_denom > 1) the scaled shape compressed
+        # payloads step at — see TrackingServer.warmup_source
+        server.warmup_source((int(args.warmup[0]), int(args.warmup[1])))
     if args.state_file and os.path.exists(args.state_file):
         # planned-restart recovery: resume identities from the last
         # snapshot written by the previous incarnation. A corrupt or

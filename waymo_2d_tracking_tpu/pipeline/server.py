@@ -130,6 +130,22 @@ class TrackingServer:
         self._warmed = src_hw
         return secs
 
+    def warmup_source(self, src_hw) -> float:
+        """Deployment warmup for FULL-RES source dims (the `w2t serve
+        --warmup H W` contract): compiles every step shape this source can
+        produce — the scaled shape compressed payloads decode to (when
+        pipeline.decode_scale_denom > 1) AND the raw shape pre-decoded
+        array payloads arrive at. Without the scaled compile, the first
+        compressed frame would pay the multi-minute XLA compile the flag
+        exists to avoid."""
+        h, w = int(src_hw[0]), int(src_hw[1])
+        secs = 0.0
+        sd = self.cfg.pipeline.decode_scale_denom
+        if sd > 1:
+            secs += self.warmup((-(-h // sd), -(-w // sd)))
+        secs += self.warmup((h, w))
+        return secs
+
     # -- request handlers --------------------------------------------------
     def _decode_frames(self, header: dict, payload: bytes):
         """Header+payload -> step() input: decoded uint8 array(s) for raw
