@@ -220,12 +220,22 @@ def main():
 
         # --config4 --headline = THE v5e deployment shape: 5 cameras on
         # the >=1500 single-cam point, staged at the post-decode source
-        # size (VERDICT r3 item 3b); default stays the production row
+        # size (VERDICT r3 item 3b); default stays the production row.
+        # chunk 16 = an 80-image shared-backbone batch: the round-4 chunk
+        # sweep (tools/perf_multicam_chunk.py) measured 8->16 as
+        # 1381.6 -> 1529.7 cam-fps/chip, and chunk 32 (160-image batch)
+        # exhausts v5e HBM with the scan carry resident.
         if "--headline" in sys.argv:
             print(json.dumps(run_multicam_bench(
-                preset="headline", src_hw=(640, 960))))
+                num_frames=64, chunk=16, preset="headline",
+                src_hw=(640, 960))))
         else:
-            print(json.dumps(run_multicam_bench()))
+            # production row, round-4 methodology: realistic 640x960
+            # staging (post decode_scale_denom=2) + chunk 16 — measured
+            # 991.1 cam-fps vs 627.4 at the old chunk-8 network-size
+            # staging, despite now including the device letterbox
+            print(json.dumps(run_multicam_bench(
+                num_frames=64, chunk=16, src_hw=(640, 960))))
         return
     if "--config5" in sys.argv:
         print(json.dumps(bench_tta()))

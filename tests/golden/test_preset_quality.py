@@ -70,6 +70,41 @@ def test_headline_int8_shares_headline_tracker():
     assert dataclasses.replace(a.detector, quant="off") == b.detector
 
 
+def test_robust_preset_quality():
+    """configs/robust.yaml = the headline architecture + the knobs the
+    hostile family validated (byte_low=0.1, iou_buffer=0.3). Contract:
+    (a) identical detector + identical benign-clip quality regime (the
+    knobs are no-ops/noise on easy scenes — round-3 measurement), and
+    (b) it beats the headline tracker where the knobs' regimes apply
+    (the hostile occl_dips clip; floors from test_hostile_quality.py)."""
+    import dataclasses
+
+    from waymo_2d_tracking_tpu.data.synthetic import HOSTILE_CLIPS
+
+    r = load_config(os.path.join(CONFIGS_DIR, "robust.yaml"))
+    h = load_config(os.path.join(CONFIGS_DIR, "headline.yaml"))
+    assert r.detector == h.detector
+    assert dataclasses.replace(
+        r.tracker, byte_low_threshold=0.0, iou_buffer=0.0
+    ) == h.tracker
+
+    # (a) benign golden clip: same quality regime as headline
+    m = _run_preset_tracker("robust.yaml")
+    assert m.mota >= 0.92, m.as_dict()
+    assert m.idf1 >= 0.95, m.as_dict()
+    assert m.num_idsw <= 3, m.as_dict()
+
+    # (b) hostile occlusion-dip clip: robust must beat headline
+    dets, gt = generate_clip(HOSTILE_CLIPS["occl_dips"])
+    frames = HOSTILE_CLIPS["occl_dips"].num_frames
+    _, r_outs = Tracker(r.tracker).run(dets)
+    _, h_outs = Tracker(h.tracker).run(dets)
+    rm = evaluate_mot(gt_to_frames(gt), track_outputs_to_frames(r_outs, frames))
+    hm = evaluate_mot(gt_to_frames(gt), track_outputs_to_frames(h_outs, frames))
+    assert rm.mota >= hm.mota + 0.05, (rm.as_dict(), hm.as_dict())
+    assert rm.idf1 >= hm.idf1 + 0.04, (rm.as_dict(), hm.as_dict())
+
+
 def test_headline_centernet_preset_quality_floor():
     """headline_centernet.yaml differs from headline.yaml ONLY in
     detector.head_family — its tracker settings (and therefore this

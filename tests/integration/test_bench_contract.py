@@ -85,27 +85,37 @@ def _require_tpu(env):
 # Floors at ~0.75x the best measured reading (VERDICT r3 item 5: the
 # driver-observed cross-process spread is +-10-20%, so 0.75x is safe AND
 # meaningful — the old 800 floor let a 2.2x headline regression pass).
-# Measurement history (BASELINE.md "Measured" sections, rounds 2-4):
-#   headline (default): 1741.5-1967.4 (r4 int8 A/B float/int8 sides,
+# Measurement history (BASELINE.md "Measured" sections, rounds 2-4; the
+# round-4 full-sweep readings are the 2026-08-19 column):
+#   headline (default): 1741.5-1967.4 (r4 int8 A/B), 1798.2 (r4 sweep,
 #       640x960-staged sources incl. device letterbox); floor 1400
-#   --int8:             1953.7/1967.4 (r4);                 floor 1500
-#   --fast:             2492.6 (r3, D=64);                  floor 1850
-#   --production:       953.1  (r3, D=64);                  floor 700
-#   --config4 (prod):   620.2 (r2) / 653.3 (r3) cam-fps;    floor 465
+#   --int8:             1953.7-1999.1 (r4);                 floor 1500
+#   --fast:             2492.6 (r3, D=64) / 2243.3 (r4);    floor 1850
+#   --production:       953.1 (r3, D=64) / 887.6 (r4);      floor 700
+#   --config4 (prod):   991.1 (r4: chunk 16 + 640x960-staged realistic
+#       sources; was 620.2/653.3 at chunk 8 network-size);  floor 740
+#   --config4 --headline: 1529.7 (r4 chunk sweep: 8/16/32 ->
+#       1381.6/1529.7/1305.7 — 80-image batch is the HBM sweet spot);
+#       floor 1150
 _PRESET_FLOORS = [
     ([], "detect_track_frames_per_sec_per_chip", 1400.0),
-    (["--int8"], "detect_track_frames_per_sec_per_chip", 1500.0),
-    (["--fast"], "detect_track_frames_per_sec_per_chip", 1850.0),
-    (["--production"], "detect_track_frames_per_sec_per_chip", 700.0),
+    (["--int8"], "detect_track_headline_int8_frames_per_sec_per_chip",
+     1500.0),
+    (["--fast"], "detect_track_fast_frames_per_sec_per_chip", 1850.0),
+    (["--production"], "detect_track_production_frames_per_sec_per_chip",
+     700.0),
     (["--config4"], "detect_track_multicam_camframes_per_sec_per_chip",
-     465.0),
+     740.0),
+    (["--config4", "--headline"],
+     "detect_track_multicam_headline_camframes_per_sec_per_chip", 1150.0),
 ]
 
 
 @_pytest.mark.slow
 @_pytest.mark.parametrize(
     "flags,metric,floor", _PRESET_FLOORS,
-    ids=["headline", "int8", "fast", "production", "config4"],
+    ids=["headline", "int8", "fast", "production", "config4",
+         "config4-headline"],
 )
 def test_bench_preset_floor_on_tpu(flags, metric, floor):
     """Per-preset TPU regression floors (table above). Skips off-TPU.
