@@ -1,0 +1,127 @@
+"""Pixels-to-MOTA golden: the FULL product path with TRAINED weights.
+
+Every other golden drives the tracker with scripted detection streams; this
+one runs raw rendered pixels through the real serving stack — SegmentPipeline
+(device letterbox -> trained r18slim detector -> top-k/NMS -> tracker scan ->
+submission records in source pixels) — and holds a CLEAR-MOT floor against
+the rendered ground truth. Catches whole-path regressions nothing else can:
+letterbox scale composition, box decode geometry, NMS/threshold interactions
+with the tracker's score gates, record emission.
+
+Fixture: tests/fixtures/pixels_detector.msgpack — trained (not overfit) by
+tools/train_pixels_fixture.py on random layouts drawn by the SAME
+draw_rect_objects code that renders the clip; held-out recall recorded in
+pixels_detector.json. Regenerate with that tool if the detector architecture
+changes.
+
+Measured at fixture-commit time (CPU, deterministic): see the floors below.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from waymo_2d_tracking_tpu.config import (
+    Config,
+    DetectorConfig,
+    PipelineConfig,
+    TrackerConfig,
+)
+from waymo_2d_tracking_tpu.data.synthetic import (
+    SyntheticClipConfig,
+    render_video_clip,
+)
+from waymo_2d_tracking_tpu.eval.mot import evaluate_mot, gt_to_frames
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "..", "fixtures")
+
+# Must match tools/train_pixels_fixture.py PIXELS_DET.
+PIXELS_DET = DetectorConfig(
+    backbone="resnet18slim", image_size=(256, 384), fpn_channels=32,
+    fpn_levels=(3, 4, 5), head_depth=2, head_channels=32,
+    pre_nms_topk=128, nms_topk=256, max_detections=32, embed_dim=0,
+    dtype="float32", score_threshold=0.3,
+)
+
+CLIP = SyntheticClipConfig(
+    num_frames=80, num_objects=8, image_size=(1024, 1536), seed=5,
+)
+
+
+def _load_fixture():
+    from flax import serialization
+
+    from waymo_2d_tracking_tpu.models.detector import DetectorRunner
+
+    path = os.path.join(FIXTURES, "pixels_detector.msgpack")
+    if not os.path.exists(path):
+        pytest.skip("pixels fixture not built (tools/train_pixels_fixture.py)")
+    runner = DetectorRunner(PIXELS_DET)
+    import jax
+
+    template = runner.init_params(jax.random.PRNGKey(0), batch_size=1)
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def _records_to_frames(records, num_frames):
+    """TrackRecords -> per-frame (ids, boxes xyxy); object_id interned."""
+    ids = {}
+    frames = [([], []) for _ in range(num_frames)]
+    for r in records:
+        ids.setdefault(r.object_id, len(ids))
+        t = r.timestamp_micros
+        x1 = r.center_x - r.length / 2
+        y1 = r.center_y - r.width / 2
+        frames[t][0].append(ids[r.object_id])
+        frames[t][1].append([x1, y1, x1 + r.length, y1 + r.width])
+    return [
+        (np.asarray(i, np.int64), np.asarray(b, float).reshape(len(i), 4))
+        for i, b in frames
+    ]
+
+
+def test_pixels_to_mota_floor():
+    from waymo_2d_tracking_tpu.pipeline.run import SegmentFrames, SegmentPipeline
+
+    variables = _load_fixture()
+    frames, gt = render_video_clip(CLIP)
+
+    cfg = Config(
+        detector=PIXELS_DET,
+        tracker=TrackerConfig(
+            max_tracks=32, max_detections=32, embed_dim=0,
+            n_init=2, max_age=5, iou_threshold=0.3,
+            # the trained fixture separates cleanly: real objects score
+            # >=0.63, duplicate/junk candidates <=0.55 (measured at
+            # fixture-commit time) — gate between the two bands
+            score_threshold=0.55, birth_score_threshold=0.65,
+            # duplicate detections the NMS kept (pair IoU < 0.6) otherwise
+            # birth twin tracks: measured 19 idsw / 169 fp without this,
+            # 0 idsw / 27 fp with it (MOTA 0.614 -> 0.882)
+            birth_iou_threshold=0.3,
+        ),
+        pipeline=PipelineConfig(chunk_frames=16, interp_max_gap=0),
+    )
+    pipeline = SegmentPipeline(cfg, params=variables)
+    segment = SegmentFrames(
+        context_name="pixels", camera_name=1,
+        timestamps=list(range(CLIP.num_frames)), frames=frames,
+    )
+    records, stats = pipeline.run_segment(segment)
+    assert stats["frames"] == CLIP.num_frames
+
+    m = evaluate_mot(
+        gt_to_frames(gt), _records_to_frames(records, CLIP.num_frames)
+    )
+    # Floors just under the values measured at fixture-commit time. The
+    # detector's float path differs per backend enough to move the tail
+    # detections: TPU measured mota 0.882 / idf1 0.940 / idsw 0 / mt 8;
+    # CPU (this harness) 0.799 / 0.885 / 5 / 8. Floors clear both with
+    # margin (recorded in BASELINE.md).
+    d = m.as_dict()
+    assert m.mota >= 0.76, d
+    assert m.idf1 >= 0.85, d
+    assert m.num_idsw <= 7, d
+    assert m.mostly_tracked >= 7, d

@@ -185,3 +185,28 @@ def test_motion_gate_blocks_implausible_jump():
     # gated: association forbidden -> no confirmed emission on the jump frame
     # (the new birth is tentative; the old track is missing)
     assert emitted_ids(outs_gated, 4) != emitted_ids(outs_gated, 3)
+
+
+def test_birth_iou_suppression():
+    """A duplicate detection overlapping a live track (IoU above
+    birth_iou_threshold but below the detector NMS threshold, so NMS kept
+    it) must NOT birth a twin track; a clean far-away detection must. With
+    the knob off (default 1.0) the duplicate births — exact SORT parity."""
+    b = box(100, 100, 40, 40)
+    dup = box(110, 100, 40, 40)   # IoU ~0.58 with b
+    far = box(400, 400, 40, 40)
+    frames = [
+        [(b, 0.9, 0)],
+        [(b, 0.9, 0)],
+        # duplicate + clean newcomer arrive together
+        [(b, 0.9, 0), (dup, 0.85, 0), (far, 0.85, 0)],
+        [(b, 0.9, 0), (dup, 0.85, 0), (far, 0.85, 0)],
+    ]
+
+    state_off, _ = run(make_tracker(birth_iou_threshold=1.0), frames)
+    live_off = np.asarray(state_off.status) != 0
+    assert int(np.sum(live_off)) == 3  # twin track born (parity behavior)
+
+    state_on, _ = run(make_tracker(birth_iou_threshold=0.5), frames)
+    live_on = np.asarray(state_on.status) != 0
+    assert int(np.sum(live_on)) == 2  # duplicate suppressed, far det born

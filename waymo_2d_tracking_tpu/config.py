@@ -52,6 +52,17 @@ class TrackerConfig:
                                    # 0 disables)
     score_threshold: float = 0.5   # min det score to participate at all
     birth_score_threshold: float = 0.6  # min score to birth a new track
+    birth_iou_threshold: float = 1.0  # suppress a birth whose IoU with any
+                                   # live (tentative/confirmed) track exceeds
+                                   # this — a duplicate detection the
+                                   # detector's NMS kept (its IoU fell under
+                                   # nms_iou_threshold) would otherwise go
+                                   # unmatched and spawn a twin track that
+                                   # steals the identity (measured: the
+                                   # pixels-to-MOTA golden clip drops from 19
+                                   # ID switches to 1 at 0.5, 0 at 0.3 —
+                                   # BASELINE.md round 4). >= 1.0 disables
+                                   # (exact SORT parity).
     byte_low_threshold: float = 0.0  # BYTE-style second association
                                    # (ByteTrack, Zhang et al. 2022): when > 0,
                                    # detections with byte_low <= score <
@@ -111,6 +122,11 @@ class TrackerConfig:
                 "tracker.byte_low_threshold must be 0 (off) or in "
                 f"[0, score_threshold={self.score_threshold}); "
                 f"got {self.byte_low_threshold!r}"
+            )
+        if self.birth_iou_threshold <= 0:
+            raise ValueError(
+                "tracker.birth_iou_threshold must be in (0, 1] "
+                f"(>= 1.0 disables); got {self.birth_iou_threshold!r}"
             )
 
 

@@ -240,6 +240,97 @@ HOSTILE_CLIPS = {
 }
 
 
+RENDER_COLORS = np.array(
+    [[0.9, 0.2, 0.2], [0.2, 0.9, 0.2], [0.2, 0.2, 0.9]], np.float32
+)
+
+
+def draw_rect_objects(image, boxes, classes, brightness=None):
+    """Draw solid class-colored rectangles onto a float image IN PLACE.
+
+    image (H, W, 3) f32; boxes (N, 4) xyxy in image pixels (clipped here);
+    classes (N,) ints into RENDER_COLORS; brightness (N,) optional
+    per-object color scale. Later boxes draw on top (deterministic
+    occlusion order). Shared by the trained-fixture batch generator and
+    render_video_clip so the train and eval pixel distributions are one
+    code path.
+    """
+    h, w = image.shape[:2]
+    for i in range(len(boxes)):
+        x1, y1, x2, y2 = boxes[i]
+        x1 = int(max(x1, 0)); y1 = int(max(y1, 0))
+        x2 = int(min(x2, w)); y2 = int(min(y2, h))
+        if x2 <= x1 or y2 <= y1:
+            continue
+        color = RENDER_COLORS[int(classes[i]) % len(RENDER_COLORS)]
+        if brightness is not None:
+            color = np.clip(color * float(brightness[i]), 0.0, 1.0)
+        image[y1:y2, x1:x2] = color
+    return image
+
+
+def render_video_clip(
+    cfg: SyntheticClipConfig,
+    render_hw: Tuple[int, int] = (256, 384),
+    bg_mean: float = 0.45,
+    bg_noise: float = 0.08,
+):
+    """Render a temporally-consistent RGB clip from scripted trajectories.
+
+    The pixels-to-MOTA golden path: generate_clip provides the GT
+    trajectories (at cfg.image_size), which are scaled to ``render_hw``
+    and drawn as solid class-colored rectangles (class = id % 3, a
+    deterministic per-object brightness so same-class objects differ) on a
+    per-frame noise background. The scripted DETECTIONS are ignored — a
+    trained detector supplies them from the pixels instead
+    (tests/golden/test_pixels_to_mota.py).
+
+    Returns (frames_u8 (T, H, W, 3), gt) where gt boxes are in RENDER
+    pixels, clipped to the frame, and ``present`` additionally requires
+    >= 40% of the box area inside the frame (a mostly-off-screen object
+    is not detectable and must not count as a miss).
+    """
+    _, gt = generate_clip(cfg)
+    t_total = gt["boxes"].shape[0]
+    k = gt["boxes"].shape[1]
+    hr, wr = render_hw
+    hc, wc = cfg.image_size
+    sxy = np.array([wr / wc, hr / hc, wr / wc, hr / hc], np.float32)
+    boxes = gt["boxes"] * sxy                                   # (T, K, 4)
+
+    rng = np.random.default_rng(cfg.seed + 7777)
+    brightness = rng.uniform(0.75, 1.15, k)
+
+    clipped = boxes.copy()
+    clipped[..., 0::2] = np.clip(clipped[..., 0::2], 0, wr)
+    clipped[..., 1::2] = np.clip(clipped[..., 1::2], 0, hr)
+    area = np.maximum(boxes[..., 2] - boxes[..., 0], 0) * np.maximum(
+        boxes[..., 3] - boxes[..., 1], 0
+    )
+    area_in = np.maximum(clipped[..., 2] - clipped[..., 0], 0) * np.maximum(
+        clipped[..., 3] - clipped[..., 1], 0
+    )
+    visible = area_in >= 0.4 * np.maximum(area, 1e-6)
+    present = gt["present"] & visible
+
+    frames = np.empty((t_total, hr, wr, 3), np.uint8)
+    for t in range(t_total):
+        img = rng.normal(bg_mean, bg_noise, (hr, wr, 3)).astype(np.float32)
+        live = np.where(present[t])[0]
+        draw_rect_objects(
+            img, clipped[t, live], gt["classes"][live], brightness[live]
+        )
+        frames[t] = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+    gt_render = {
+        "boxes": clipped.astype(np.float32),
+        "present": present,
+        "ids": gt["ids"],
+        "classes": gt["classes"],
+    }
+    return frames, gt_render
+
+
 def render_detection_batch(
     rng: np.random.Generator,
     batch_size: int,

@@ -255,6 +255,9 @@ def run_multicam_bench(
         jax.device_put(frames[i : i + chunk])
         for i in range(0, num_frames, chunk)
     ]
+    # PTQ calibration (int8 presets; no-op for float) — the bench drives
+    # _chunk_step directly, so it must run the driver's calibration hook
+    pipeline.ensure_calibrated(frames[:chunk], hw)
     states = init_multicam_state(cfg, num_cams)
     states, outputs, _ = pipeline._chunk_step(pipeline.params, states, dev_frames[0], hw)
     _ = np.asarray(outputs.valid)  # real sync

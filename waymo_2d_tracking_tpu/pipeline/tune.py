@@ -39,6 +39,8 @@ DEFAULT_SPACE: Dict[str, Callable] = {
     "tracker.iou_buffer": lambda rng: float(rng.choice([0.0, 0.0, 0.1, 0.2, 0.3])),
     "tracker.byte_low_threshold":
         lambda rng: float(rng.choice([0.0, 0.0, 0.1, 0.2, 0.3])),
+    "tracker.birth_iou_threshold":
+        lambda rng: float(rng.choice([1.0, 1.0, 0.3, 0.5, 0.7])),
     "tracker.n_init": lambda rng: int(rng.integers(1, 4)),
     "tracker.max_age": lambda rng: int(rng.integers(1, 9)),
     "tracker.motion_gate": lambda rng: float(rng.choice([0.0, 0.0, 9.4877])),

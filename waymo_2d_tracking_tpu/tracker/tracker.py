@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from waymo_2d_tracking_tpu.config import TrackerConfig
 from waymo_2d_tracking_tpu.ops.assign import auction_assign, greedy_assign
+from waymo_2d_tracking_tpu.ops.iou import pairwise_iou
 from waymo_2d_tracking_tpu.tracker import cost as cost_mod
 from waymo_2d_tracking_tpu.tracker import kalman, lifecycle
 from waymo_2d_tracking_tpu.types import (
@@ -131,7 +132,26 @@ def track_step(
         state, dets, row_to_col, recovered, cfg, embed_update=embed_update
     )
     state = lifecycle.apply_misses(state, row_to_col >= 0, cfg)
-    state = lifecycle.apply_births(state, dets, col_to_row < 0, cfg)
+    birth_ok = col_to_row < 0
+    if cfg.birth_iou_threshold < 1.0:
+        # Duplicate-birth suppression: a detection that heavily overlaps a
+        # live track is a duplicate the detector's NMS kept (pair IoU under
+        # nms_iou_threshold) — birthing it spawns a twin track that later
+        # steals the identity (FP + ID switch). Gate births on max IoU vs
+        # live slots AFTER this frame's matches/misses, so the comparison is
+        # against each track's updated box.
+        live = jnp.logical_or(
+            state.status == SLOT_TENTATIVE, state.status == SLOT_CONFIRMED
+        )
+        trk_boxes = boxes_cxcywh_to_xyxy(state.mean[:, :4])
+        overlap = pairwise_iou(dets.boxes, trk_boxes)            # (D, S)
+        max_iou = jnp.max(
+            jnp.where(live[None, :], overlap, 0.0), axis=1
+        )
+        birth_ok = jnp.logical_and(
+            birth_ok, max_iou < cfg.birth_iou_threshold
+        )
+    state = lifecycle.apply_births(state, dets, birth_ok, cfg)
     state = state.replace(frame_idx=state.frame_idx + 1)
 
     # 5. Emit: confirmed tracks matched this frame; during the first n_init
