@@ -211,7 +211,7 @@ def main():
     if "--production" in sys.argv:
         print(json.dumps(bench_detect_track(preset="production")))
         return
-    if "--int8" in sys.argv:
+    if "--int8" in sys.argv and "--config4" not in sys.argv:
         print(json.dumps(bench_detect_track(preset="headline_int8",
                                             src_hw=(640, 960))))
         return
@@ -225,7 +225,14 @@ def main():
         # sweep (tools/perf_multicam_chunk.py) measured 8->16 as
         # 1381.6 -> 1529.7 cam-fps/chip, and chunk 32 (160-image batch)
         # exhausts v5e HBM with the scan carry resident.
-        if "--headline" in sys.argv:
+        if "--int8" in sys.argv:
+            # int8 x multicam composition: the 5-camera deployment shape
+            # on the PTQ detector (run_multicam_bench runs the driver's
+            # ensure_calibrated hook before the timed region)
+            print(json.dumps(run_multicam_bench(
+                num_frames=64, chunk=16, preset="headline_int8",
+                src_hw=(640, 960))))
+        elif "--headline" in sys.argv:
             print(json.dumps(run_multicam_bench(
                 num_frames=64, chunk=16, preset="headline",
                 src_hw=(640, 960))))

@@ -125,3 +125,53 @@ def test_pixels_to_mota_floor():
     assert m.idf1 >= 0.85, d
     assert m.num_idsw <= 7, d
     assert m.mostly_tracked >= 7, d
+
+
+def test_dense_occlusion_birth_suppression_regime():
+    """The regime lock for tracker.birth_iou_threshold THROUGH the real
+    detector (no scripted scores): a dense 14-object clip where solid
+    rectangles genuinely occlude each other. The trained detector emits
+    near-duplicate boxes NMS keeps; without birth suppression they spawn
+    twin tracks (measured base: MOTA 0.208, 63 IDSW, 481 FP — identical
+    CPU and TPU). With birth_iou_threshold=0.3: MOTA 0.433, 5 IDSW.
+    BYTE measurably HURTS on this clip (MOTA 0.083: the low-score band is
+    detector junk, not occluded objects) — recorded in BASELINE.md; the
+    ordering floor here pins the knob's regime, not a tuned best."""
+    from waymo_2d_tracking_tpu.pipeline.run import SegmentFrames, SegmentPipeline
+
+    variables = _load_fixture()
+    clip = SyntheticClipConfig(
+        num_frames=80, num_objects=14, image_size=(1024, 1536), seed=11
+    )
+    frames, gt = render_video_clip(clip)
+    gf = gt_to_frames(gt)
+
+    def run(**tracker_kw):
+        cfg = Config(
+            detector=PIXELS_DET,
+            tracker=TrackerConfig(
+                max_tracks=32, max_detections=32, embed_dim=0,
+                n_init=2, max_age=5, iou_threshold=0.3,
+                score_threshold=0.55, birth_score_threshold=0.65,
+                **tracker_kw,
+            ),
+            pipeline=PipelineConfig(chunk_frames=16, interp_max_gap=0),
+        )
+        pipeline = SegmentPipeline(cfg, params=variables)
+        records, _ = pipeline.run_segment(SegmentFrames(
+            context_name="dense", camera_name=1,
+            timestamps=list(range(clip.num_frames)), frames=frames,
+        ))
+        return evaluate_mot(gf, _records_to_frames(records, clip.num_frames))
+
+    base = run()
+    sup = run(birth_iou_threshold=0.3)
+    # ordering floors (the regime claim), with margin under the measured
+    # gap: +0.225 MOTA, IDSW 63 -> 5, FP 481 -> 260
+    assert sup.mota >= base.mota + 0.15, (base.as_dict(), sup.as_dict())
+    assert sup.num_idsw * 3 <= base.num_idsw, (base.num_idsw, sup.num_idsw)
+    assert sup.num_fp < base.num_fp, (base.num_fp, sup.num_fp)
+    # absolute floors just under measurement
+    assert sup.mota >= 0.38, sup.as_dict()
+    assert sup.idf1 >= 0.62, sup.as_dict()
+    assert sup.num_idsw <= 12, sup.as_dict()
