@@ -127,6 +127,63 @@ def test_pixels_to_mota_floor():
     assert m.mostly_tracked >= 7, d
 
 
+def test_multicam_pixels_to_mota_floor(tmp_path):
+    """Config-4 composition of the pixels golden: TWO rendered cameras
+    (the seed-5 clip and the seed-11 dense-occlusion clip) through the
+    FULL multicam product path — shared-backbone detector batch,
+    per-camera vmapped trackers, submission JSONL write + read-back —
+    holding each camera to the SAME floors its single-camera golden
+    holds. Catches config-4-only regressions: camera-axis mixups in the
+    chunk reshape, per-camera record demux, scale composition through
+    run_segments_group."""
+    from waymo_2d_tracking_tpu.io_out.submission import read_jsonl
+    from waymo_2d_tracking_tpu.pipeline.multicam import MultiCamPipeline
+    from waymo_2d_tracking_tpu.pipeline.run import SegmentFrames
+
+    variables = _load_fixture()
+    frames_a, gt_a = render_video_clip(CLIP)
+    clip_b = SyntheticClipConfig(
+        num_frames=80, num_objects=14, image_size=(1024, 1536), seed=11
+    )
+    frames_b, gt_b = render_video_clip(clip_b)
+
+    cfg = Config(
+        detector=PIXELS_DET,
+        tracker=TrackerConfig(
+            max_tracks=32, max_detections=32, embed_dim=0,
+            n_init=2, max_age=5, iou_threshold=0.3,
+            score_threshold=0.55, birth_score_threshold=0.65,
+            birth_iou_threshold=0.3,
+        ),
+        pipeline=PipelineConfig(chunk_frames=16, interp_max_gap=0),
+    )
+    ts = list(range(CLIP.num_frames))
+    segs = [
+        SegmentFrames(context_name="mc", camera_name=1,
+                      timestamps=ts, frames=frames_a),
+        SegmentFrames(context_name="mc", camera_name=2,
+                      timestamps=ts, frames=frames_b),
+    ]
+    pipeline = MultiCamPipeline(cfg, num_cams=2, params=variables)
+    stats = pipeline.run_segments_group(segs, str(tmp_path))
+    assert [s["camera"] for s in stats] == [1, 2]
+
+    def mota_for(cam, gt):
+        records = read_jsonl(str(tmp_path / f"mc_{cam}.jsonl"))
+        return evaluate_mot(
+            gt_to_frames(gt), _records_to_frames(records, CLIP.num_frames)
+        )
+
+    m1 = mota_for(1, gt_a)
+    m2 = mota_for(2, gt_b)
+    # same floors as the single-camera goldens above: the shared-backbone
+    # batch must not change per-camera quality
+    assert m1.mota >= 0.76 and m1.idf1 >= 0.85, m1.as_dict()
+    assert m1.num_idsw <= 7 and m1.mostly_tracked >= 7, m1.as_dict()
+    assert m2.mota >= 0.38 and m2.idf1 >= 0.62, m2.as_dict()
+    assert m2.num_idsw <= 12, m2.as_dict()
+
+
 def test_dense_occlusion_birth_suppression_regime():
     """The regime lock for tracker.birth_iou_threshold THROUGH the real
     detector (no scripted scores): a dense 14-object clip where solid
