@@ -153,3 +153,48 @@ def test_scaled_decode_odd_dims_round_up():
         dec.close()
     assert out.shape == (1, 17, 25, 3)
     assert out.any(), "decode failed (zeroed slot)"
+
+
+def test_jpeg_dims_header_probe(jpegs):
+    """jpeg_dims reads (H, W) from the SOF marker without decoding —
+    progressive and baseline, any size; garbage raises ValueError."""
+    from waymo_2d_tracking_tpu.data.jpeg import jpeg_dims
+
+    assert jpeg_dims(jpegs[0]) == (96, 128)
+    for h, w in [(1280, 1920), (886, 1920), (31, 47)]:
+        img = np.zeros((h, w, 3), np.uint8)
+        for flags in ([], [cv2.IMWRITE_JPEG_PROGRESSIVE, 1]):
+            ok, enc = cv2.imencode(
+                ".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 80] + flags
+            )
+            assert ok
+            assert jpeg_dims(enc.tobytes()) == (h, w)
+    with pytest.raises(ValueError):
+        jpeg_dims(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        jpeg_dims(jpegs[0][:8])  # truncated before SOF
+
+
+def test_frame_decoder_adapts_to_resolution_change(jpegs):
+    """Review r4: a session decoder reused across streams must re-size
+    itself when the source resolution changes (the old one silently
+    zero-filled every later stream), and a mixed-resolution rig batch must
+    raise, not zero-fill."""
+    from waymo_2d_tracking_tpu.pipeline.online import _FrameDecoder
+
+    rng = np.random.default_rng(3)
+    img_small = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    ok, enc_small = cv2.imencode(".jpg", img_small[:, :, ::-1])
+    assert ok
+    dec = _FrameDecoder(scale_denom=1)
+    try:
+        a, _ = dec.decode_batch([jpegs[0]])
+        assert a.shape == (1, 96, 128, 3) and a.any()
+        # stream restart at a different resolution: transparently re-sized
+        b, _ = dec.decode_batch([enc_small.tobytes()])
+        assert b.shape == (1, 48, 64, 3) and b.any()
+        # mixed-resolution rig tick: loud failure
+        with pytest.raises(ValueError, match="mixed-resolution"):
+            dec.decode_batch([jpegs[0], enc_small.tobytes()])
+    finally:
+        dec.close()

@@ -181,3 +181,20 @@ def test_export_refuses_uncalibrated_int8(int8_runner_and_params, tmp_path):
     _, params = int8_runner_and_params
     with pytest.raises(RuntimeError, match="calibrat"):
         make_detect_fn(SLIM_INT8.detector, params, platform="cpu")
+
+
+def test_calibration_survives_zero_valid_detections():
+    """Review r4: an online int8 session calibrates on exactly ONE first
+    frame. If that frame has no detections above score_threshold (dark or
+    empty scene), the ReID pooled-feature masking must NOT zero the whole
+    calibration batch — absmax 0 would read as 'uncalibrated' and the
+    serving guard would crash a legitimate stream. The fallback keeps the
+    unmasked RoIAlign artifacts for that degenerate case."""
+    cfg = dataclasses.replace(SLIM_INT8.detector, score_threshold=0.999999)
+    runner = DetectorRunner(cfg, interpret=True)
+    params = runner.init_params(jax.random.PRNGKey(0), batch_size=1)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)), jnp.float32)
+    calibrated = runner.calibrate(params, images)
+    assert is_calibrated(calibrated)
+    runner.detect(calibrated, images)  # guard passes, no raise

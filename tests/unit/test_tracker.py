@@ -210,3 +210,21 @@ def test_birth_iou_suppression():
     state_on, _ = run(make_tracker(birth_iou_threshold=0.5), frames)
     live_on = np.asarray(state_on.status) != 0
     assert int(np.sum(live_on)) == 2  # duplicate suppressed, far det born
+
+
+def test_birth_iou_suppression_is_class_gated():
+    """Review r4: the duplicate-birth knob mops up after PER-CLASS NMS, so
+    a cross-class overlap is a genuinely new object (a cyclist emerging
+    over a tracked vehicle), not an NMS duplicate — it must birth even
+    with birth_iou_threshold enabled."""
+    b = box(100, 100, 40, 40)
+    dup = box(110, 100, 40, 40)   # IoU ~0.58 with b
+    frames = [
+        [(b, 0.9, 0)],
+        [(b, 0.9, 0)],
+        [(b, 0.9, 0), (dup, 0.85, 1)],   # other-class newcomer overlaps
+        [(b, 0.9, 0), (dup, 0.85, 1)],
+    ]
+    state, _ = run(make_tracker(birth_iou_threshold=0.5), frames)
+    live = np.asarray(state.status) != 0
+    assert int(np.sum(live)) == 2  # both tracked: overlap is cross-class

@@ -369,25 +369,23 @@ def test_native_scanner_rejects_corrupt_tfrecord(tmp_path):
 
 
 def test_source_hw_cached_single_probe(tmp_path):
-    """source_hw()/scaled_hw() decode ONE frame once, then every probe site
-    (bucketing, scale, decoder sizing) reuses the cache (review r3)."""
+    """source_hw()/scaled_hw() probe ONE frame's JPEG header once (review
+    r3: one probe, not one per site; review r4: a marker walk, ZERO full
+    decodes), then every probe site (bucketing, scale, decoder sizing)
+    reuses the cache."""
     import cv2
 
+    import waymo_2d_tracking_tpu.data.jpeg as dj
+    import waymo_2d_tracking_tpu.data.preprocess as pp
     from waymo_2d_tracking_tpu.pipeline.run import SegmentFrames
 
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (30, 44, 3), np.uint8)
     ok, enc = cv2.imencode(".jpg", img[:, :, ::-1])
-    calls = []
-    import waymo_2d_tracking_tpu.data.preprocess as pp
-
-    orig = pp.decode_jpeg_host
-
-    def counting(b):
-        calls.append(1)
-        return orig(b)
-
-    pp.decode_jpeg_host = counting
+    decodes, probes = [], []
+    orig_decode, orig_dims = pp.decode_jpeg_host, dj.jpeg_dims
+    pp.decode_jpeg_host = lambda b: (decodes.append(1), orig_decode(b))[1]
+    dj.jpeg_dims = lambda b: (probes.append(1), orig_dims(b))[1]
     try:
         seg = SegmentFrames(context_name="c", camera_name=1,
                             timestamps=[0, 1000],
@@ -395,9 +393,11 @@ def test_source_hw_cached_single_probe(tmp_path):
         assert seg.source_hw() == (30, 44)
         assert seg.source_hw() == (30, 44)
         assert seg.scaled_hw(2) == (15, 22)
-        assert len(calls) == 1, "source_hw probe not cached"
+        assert len(probes) == 1, "source_hw probe not cached"
+        assert len(decodes) == 0, "header probe must not decode"
     finally:
-        pp.decode_jpeg_host = orig
+        pp.decode_jpeg_host = orig_decode
+        dj.jpeg_dims = orig_dims
 
 
 def test_track_ids_namespaced_by_context_and_context_sampling(tmp_path):

@@ -37,10 +37,25 @@ def build_native(target: str, force: bool = False) -> Optional[str]:
     cmd = ["make", "-C", NATIVE_DIR, target]
     if force:
         cmd.insert(1, "--always-make")
+    # cross-PROCESS exclusion (the module _lock is per-process): two
+    # first-use processes (pytest-xdist, parallel CLI runs) racing the same
+    # linker output path would corrupt the .so mid-dlopen (review r4). An
+    # flock serializes them; the loser's make is then an up-to-date no-op.
+    lock_fh = None
+    try:
+        import fcntl
+
+        lock_fh = open(os.path.join(NATIVE_DIR, f".{target}.lock"), "w")
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    except OSError:
+        lock_fh = None  # read-only checkout / exotic fs: build unlocked
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
         pass  # no toolchain: a prebuilt .so (if any) still serves
+    finally:
+        if lock_fh is not None:
+            lock_fh.close()  # releases the flock
     return path if os.path.exists(path) else None
 
 

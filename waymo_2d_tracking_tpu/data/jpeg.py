@@ -44,6 +44,43 @@ def _load():
     return _native.load("libw2t_jpeg.so", _configure)
 
 
+def jpeg_dims(blob: bytes) -> tuple:
+    """Full-resolution (height, width) from the JPEG header — NO decode.
+
+    Walks the marker segments to the first SOF (start-of-frame) marker;
+    microseconds even on a multi-MB blob, so callers can afford to probe
+    EVERY frame (the stale-probe-cache bug class: a session that cached the
+    first stream's resolution silently zero-filled later streams at a
+    different one). Raises ValueError on a non-JPEG or truncated stream.
+    """
+    if len(blob) < 4 or blob[0] != 0xFF or blob[1] != 0xD8:
+        raise ValueError("not a JPEG stream (missing SOI marker)")
+    i, n = 2, len(blob)
+    while i + 3 < n:
+        if blob[i] != 0xFF:          # stray byte between segments
+            i += 1
+            continue
+        marker = blob[i + 1]
+        if marker == 0xFF:           # fill byte
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:   # standalone markers
+            i += 2
+            continue
+        if marker == 0xDA:           # start of scan — SOF must precede it
+            break
+        length = (blob[i + 2] << 8) | blob[i + 3]
+        # SOF0..SOF15 carry dims, except DHT(0xC4)/JPG(0xC8)/DAC(0xCC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                break
+            h = (blob[i + 5] << 8) | blob[i + 6]
+            w = (blob[i + 7] << 8) | blob[i + 8]
+            return (h, w)
+        i += 2 + length
+    raise ValueError("no SOF marker found in JPEG stream")
+
+
 class BatchJpegDecoder:
     """Decode a list of JPEG byte strings -> (N, H, W, 3) uint8 in one call.
 

@@ -322,10 +322,13 @@ class DetectorRunner:
         if self.cfg.quant != "off":
             self._calib_module = Detector(self.cfg, quant="calib")
             self._calibrate = jax.jit(self._calibrate_impl)
-        # identity of the last param tree that passed the calibration guard
-        # (is_calibrated syncs every 'quant' leaf to host — too costly per
-        # detect() call; params are immutable pytrees, so id() is a safe key)
-        self._calib_ok_params: Optional[int] = None
+        # weakref to a leaf of the last param tree that passed the
+        # calibration guard (is_calibrated syncs every 'quant' leaf to host
+        # — too costly per detect() call). A weakref, NOT id(params): ids
+        # recycle after GC, so a fresh uncalibrated tree could alias the
+        # passed one and silently skip the guard (review r4); a live leaf
+        # identity can't alias, and leaves are immutable.
+        self._calib_ok_leaf = None
 
     def init_params(self, rng, batch_size: int = 1):
         h, w = self.cfg.image_size
@@ -356,8 +359,15 @@ class DetectorRunner:
             pooled = _pool_reid_features(p_feats, boxes, self.cfg)
             # zero out invalid/padded slots: their RoIAlign output is a
             # degenerate-box artifact, not a serving-time input — letting it
-            # into the absmax would skew the ReID tower's scales (ADVICE r3)
-            pooled = pooled * valid[..., None, None, None].astype(pooled.dtype)
+            # into the absmax would skew the ReID tower's scales (ADVICE r3).
+            # UNLESS the calibration batch has zero valid detections (e.g.
+            # an online session's single dark first frame): all-zero pooled
+            # features would record absmax 0 = "uncalibrated" and the
+            # serving guard would raise on a legitimate stream — fall back
+            # to the unmasked artifacts, which at least bound the range
+            # (review r4).
+            masked = pooled * valid[..., None, None, None].astype(pooled.dtype)
+            pooled = jnp.where(jnp.any(valid), masked, pooled)
             n, d = boxes.shape[:2]
             flat = pooled.reshape((n * d,) + pooled.shape[2:])
             _, upd2 = self._calib_module.apply(
@@ -396,9 +406,12 @@ class DetectorRunner:
         that reaches a quantized forward without that step is a bug, and
         this raises instead of silently serving garbage.
 
-        Host-syncs the 'quant' leaves once per param tree (memoized by id —
-        params are immutable pytrees)."""
-        if self.cfg.quant == "off" or self._calib_ok_params == id(params):
+        Host-syncs the 'quant' leaves once per param tree (memoized by a
+        weakref to the tree's first leaf — see __init__)."""
+        if self.cfg.quant == "off":
+            return
+        leaf = jax.tree_util.tree_leaves(params)[0]
+        if self._calib_ok_leaf is not None and self._calib_ok_leaf() is leaf:
             return
         from waymo_2d_tracking_tpu.models.quant import is_calibrated
 
@@ -411,7 +424,9 @@ class DetectorRunner:
                 "their first chunk (SegmentPipeline/MultiCamPipeline/"
                 "OnlineTracker), or restore a calibrated checkpoint."
             )
-        self._calib_ok_params = id(params)
+        import weakref
+
+        self._calib_ok_leaf = weakref.ref(leaf)
 
     def detect(self, params, images) -> Detections:
         """images (N, H, W, 3) float32 [0,1]-ish -> batched Detections (N, D, ...)."""

@@ -59,39 +59,63 @@ class _FrameDecoder:
     chunked mode — and the rig tick decoded its JPEGs serially in Python
     while the native batch decoder existed).
 
-    Lazily sized from the first compressed frame (one full-res probe
-    decode, like SegmentFrames.source_hw); a serving stream is assumed
-    fixed-resolution — the same assumption the jitted step's static
-    ``src_hw`` already makes. Decoded ndarray inputs pass through untouched
-    (the caller already chose their resolution; denom 1).
+    Sized from the compressed frames' JPEG headers (``jpeg_dims`` — a
+    marker walk, no decode), re-probed EVERY batch: a new stream at a
+    different resolution transparently re-sizes the decoder instead of
+    silently zero-filling (the review-r4 stale-decoder bug: a session
+    reused across segments/streams kept the first stream's geometry
+    forever, even across ``reset()``). Mixed resolutions within ONE rig
+    batch raise — equal-resolution cameras is the shared-backbone-batch
+    contract (run mixed rigs as separate single-camera sessions). Decoded
+    ndarray inputs pass through untouched (the caller already chose their
+    resolution; denom 1).
     """
 
     def __init__(self, scale_denom: int):
         self.scale_denom = int(scale_denom)
         self._decoder = None
+        self._full_hw: Optional[Tuple[int, int]] = None
+
+    def source_hw(self) -> Optional[Tuple[int, int]]:
+        """Full-res (H, W) of the last compressed batch, if any."""
+        return self._full_hw
 
     def decode_batch(self, frames: Sequence[Frame]) -> Tuple[np.ndarray, int]:
         """-> ((N, H, W, 3) uint8, denom actually applied)."""
         if all(isinstance(f, (bytes, bytearray)) for f in frames):
-            blobs = [bytes(f) for f in frames]
-            if self._decoder is None:
-                from waymo_2d_tracking_tpu.data.jpeg import BatchJpegDecoder
-                from waymo_2d_tracking_tpu.data.preprocess import (
-                    decode_jpeg_host,
-                )
+            from waymo_2d_tracking_tpu.data.jpeg import (
+                BatchJpegDecoder,
+                jpeg_dims,
+            )
 
-                h, w = decode_jpeg_host(blobs[0]).shape[:2]
+            blobs = [bytes(f) for f in frames]
+            dims = {jpeg_dims(b) for b in blobs}
+            if len(dims) != 1:
+                raise ValueError(
+                    "mixed-resolution rig batch: got JPEG dims "
+                    f"{sorted(dims)} — the shared-backbone batch needs "
+                    "equal-resolution cameras; run mixed-resolution rigs "
+                    "as separate single-camera sessions"
+                )
+            (hw,) = dims
+            if hw != self._full_hw:
+                self.close()
                 sd = self.scale_denom
                 self._decoder = BatchJpegDecoder(
-                    -(-h // sd), -(-w // sd), scale_denom=sd
+                    -(-hw[0] // sd), -(-hw[1] // sd), scale_denom=sd
                 )
+                self._full_hw = hw
             return self._decoder.decode(blobs), self.scale_denom
+        if len(frames) == 1:
+            # hot single-frame serving path: no stack copy for raw arrays
+            return _decode(frames[0])[None], 1
         return np.stack([_decode(f) for f in frames]), 1
 
     def close(self) -> None:
         if self._decoder is not None:
             self._decoder.close()
             self._decoder = None
+        self._full_hw = None
 
 
 class _LatencyWindow:

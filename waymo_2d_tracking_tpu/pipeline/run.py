@@ -63,20 +63,25 @@ class SegmentFrames:
     def source_hw(self) -> Tuple[int, int]:
         """Full-resolution (H, W) of this camera's frames, cached.
 
-        One JPEG header decode per segment instead of one per probe site —
-        the resolution-bucketing, scale and decoder-sizing probes used to
-        each pay a full-res decode (review r3 finding)."""
+        One JPEG header probe per segment instead of one FULL DECODE per
+        probe site — the resolution-bucketing, scale and decoder-sizing
+        probes used to each pay a full-res decode (review r3 finding);
+        jpeg_dims (review r4) drops even the one decode to a marker walk."""
         if self._src_hw is None:
             if self.frames is not None:
                 self._src_hw = tuple(self.frames.shape[1:3])
             else:
-                from waymo_2d_tracking_tpu.data.preprocess import (
-                    decode_jpeg_host,
-                )
+                blob = bytes(self.jpeg_frames[0])
+                try:
+                    from waymo_2d_tracking_tpu.data.jpeg import jpeg_dims
 
-                self._src_hw = tuple(
-                    decode_jpeg_host(self.jpeg_frames[0]).shape[:2]
-                )
+                    self._src_hw = jpeg_dims(blob)
+                except ValueError:  # exotic stream: fall back to a decode
+                    from waymo_2d_tracking_tpu.data.preprocess import (
+                        decode_jpeg_host,
+                    )
+
+                    self._src_hw = tuple(decode_jpeg_host(blob).shape[:2])
         return self._src_hw
 
     def scaled_hw(self, scale_denom: int = 1) -> Tuple[int, int]:

@@ -115,11 +115,6 @@ class TrackingServer:
                                       camera_name=camera_name)
         self.cfg = cfg
         self._warmed: Optional[Tuple[int, int]] = None
-        # full-res (H, W) of the client's compressed stream, probed once —
-        # compressed payloads pass through to the session, which decodes at
-        # pipeline.decode_scale_denom (scaled decode + box-scale accounting
-        # live in ONE place, pipeline/online.py _FrameDecoder)
-        self._jpeg_src_hw: Optional[Tuple[int, int]] = None
         self.requests_served = 0
 
     def warmup(self, src_hw) -> float:
@@ -167,22 +162,18 @@ class TrackingServer:
 
     def _step_src_hw(self, frames) -> Tuple[int, int]:
         """(H, W) the serving step will see for these frames: raw arrays
-        as-is; compressed streams at decode_scale_denom (full-res probed
-        once per stream — resolution is fixed per stream, the same
-        assumption the jitted step's static src_hw makes)."""
+        as-is; compressed streams at decode_scale_denom. The full-res dims
+        come from the JPEG header (a marker walk, no decode) per frame —
+        NOT a once-per-session cache, so a reset + new stream at a
+        different resolution re-warms instead of silently serving the old
+        stream's geometry (review r4)."""
         import numpy as np
 
         first = frames[0] if isinstance(frames, list) else frames
         if isinstance(first, (bytes, bytearray)):
-            if self._jpeg_src_hw is None:
-                from waymo_2d_tracking_tpu.data.preprocess import (
-                    decode_jpeg_host,
-                )
+            from waymo_2d_tracking_tpu.data.jpeg import jpeg_dims
 
-                self._jpeg_src_hw = tuple(
-                    decode_jpeg_host(bytes(first)).shape[:2]
-                )
-            h, w = self._jpeg_src_hw
+            h, w = jpeg_dims(bytes(first))
             sd = self.cfg.pipeline.decode_scale_denom
             return (-(-h // sd), -(-w // sd))
         arr = np.asarray(first)

@@ -139,14 +139,21 @@ def track_step(
         # nms_iou_threshold) — birthing it spawns a twin track that later
         # steals the identity (FP + ID switch). Gate births on max IoU vs
         # live slots AFTER this frame's matches/misses, so the comparison is
-        # against each track's updated box.
+        # against each track's updated box. SAME-CLASS slots only: the NMS
+        # this knob mops up after is per-class (detector.py class-offset
+        # trick), so a cross-class overlap is a genuinely new object (e.g.
+        # a cyclist emerging over a tracked vehicle), not a duplicate —
+        # suppressing it would be a persistent false negative (review r4).
         live = jnp.logical_or(
             state.status == SLOT_TENTATIVE, state.status == SLOT_CONFIRMED
         )
+        same_class = dets.classes[:, None] == state.classes[None, :]
         trk_boxes = boxes_cxcywh_to_xyxy(state.mean[:, :4])
         overlap = pairwise_iou(dets.boxes, trk_boxes)            # (D, S)
         max_iou = jnp.max(
-            jnp.where(live[None, :], overlap, 0.0), axis=1
+            jnp.where(jnp.logical_and(live[None, :], same_class),
+                      overlap, 0.0),
+            axis=1,
         )
         birth_ok = jnp.logical_and(
             birth_ok, max_iou < cfg.birth_iou_threshold
