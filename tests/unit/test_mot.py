@@ -176,3 +176,36 @@ def test_combine_mot_empty_matches_evaluate_mot_empty():
     from waymo_2d_tracking_tpu.eval.mot import combine_mot, evaluate_mot
 
     assert combine_mot([]).as_dict() == evaluate_mot([], []).as_dict()
+
+
+def test_suppress_ignored_removes_only_unmatched_on_regions():
+    """Review r4 protocol preprocessing: a prediction on an ignore region
+    is removed from the penalty set UNLESS it matched real GT; off-region
+    predictions always survive. Both region tests fire: IoU vs a same-size
+    ignore box, containment inside a large crowd region."""
+    from waymo_2d_tracking_tpu.eval.mot import evaluate_mot, suppress_ignored
+
+    gt = [(np.array([1]), np.array([[0.0, 0, 10, 10]]))]
+    hyp = [(
+        np.array([1, 2, 3, 4]),
+        np.array([
+            [0.0, 0, 10, 10],       # matches GT (and overlaps ignore!)
+            [100, 100, 110, 110],   # IoU ~1 with a small ignore box
+            [203, 203, 207, 207],   # small det inside a big crowd region
+            [300, 300, 310, 310],   # off-region FP: must survive
+        ]),
+    )]
+    ignore = [np.array([
+        [0.0, 0, 10, 10],           # on the GT (must not unmatch it)
+        [100, 100, 110, 110],
+        [200, 200, 240, 240],       # crowd region
+    ])]
+    out = suppress_ignored(gt, hyp, ignore)
+    assert list(out[0][0]) == [1, 4]
+    # end-to-end: the filtered set scores 1 FP (the genuine one)
+    m = evaluate_mot(gt, out)
+    assert m.num_fp == 1 and m.num_fn == 0 and m.num_matches == 1
+
+    # no ignore boxes for a frame -> pass-through (identity)
+    out2 = suppress_ignored(gt, hyp, [np.zeros((0, 4))])
+    assert len(out2[0][0]) == 4

@@ -114,17 +114,24 @@ def test_gt_semantics_ignore_and_class_mapping(tmp_path):
     p = tmp_path / "gt.txt"
     p.write_text(
         "1,1,10,10,20,40,1,1,1.0\n"      # pedestrian, kept
-        "1,2,50,10,20,40,0,1,1.0\n"      # consider flag 0 -> ignored
+        "1,2,50,10,20,40,0,1,1.0\n"      # consider flag 0 -> ignore region
         "1,3,90,10,60,30,1,3,1.0\n"      # car -> VEHICLE
-        "1,4,10,60,20,20,1,8,1.0\n"      # distractor class -> skipped
-        "2,5,10,10,20,40,1,7,0.6\n"      # static person -> PEDESTRIAN
+        "1,4,10,60,20,20,1,8,1.0\n"      # distractor class -> ignore region
+        "2,5,10,10,20,40,1,7,0.6\n"      # static person -> ignore region
         "2,6,40,10,20,40,1,4,1.0\n"      # bicycle -> CYCLIST
+        "2,7,70,10,20,40,1,9,1.0\n"      # occluder -> dropped
     )
     recs, stats = read_mot(str(p), gt=True)
-    assert stats == MotImportStats(kept=4, skipped_ignore=1, skipped_class=1)
+    # review r4: distractor classes (2/7/8/12) and zero-marked rows are
+    # ignore REGIONS (returned, fed to suppress_ignored), not silently
+    # dropped GT; static person (7) is NOT pedestrian ground truth
+    assert (stats.kept, stats.skipped_ignore, stats.skipped_class) == (3, 3, 1)
     assert [r.object_type for r in recs] == [
-        TYPE_PEDESTRIAN, TYPE_VEHICLE, TYPE_PEDESTRIAN, TYPE_CYCLIST]
+        TYPE_PEDESTRIAN, TYPE_VEHICLE, TYPE_CYCLIST]
     assert all(r.score == 1.0 for r in recs)  # gt confidence is not a score
+    assert len(stats.ignore) == 3
+    assert {r.timestamp_micros for r in stats.ignore} == {100_000, 200_000}
+    assert all(r.object_id.startswith("ignore_") for r in stats.ignore)
 
 
 def test_detection_file_unique_ids_and_conf(tmp_path):
@@ -243,3 +250,50 @@ def test_mot_detections_to_tracker_chain(tmp_path, capsys):
     assert {l.split(",")[1] for l in res} == {"1", "2", "3"}
     frames = [int(l.split(",")[0]) for l in res]
     assert min(frames) == 1 and max(frames) == 40
+
+
+def test_cli_ignore_sidecar_suppresses_fps(tmp_path, capsys):
+    """import-mot --gt writes the .ignore.jsonl sidecar (distractor +
+    zero-marked rows); w2t eval --ignore removes predictions on those
+    regions from the FP penalty set (review r4 protocol fidelity)."""
+    from waymo_2d_tracking_tpu import cli
+
+    gt = tmp_path / "gt.txt"
+    gt.write_text(
+        "1,1,10,10,20,40,1,1,1.0\n"      # real pedestrian
+        "1,2,200,10,20,40,1,7,1.0\n"     # static person -> ignore region
+        "2,1,12,10,20,40,1,1,1.0\n"
+        "2,2,200,10,20,40,0,1,1.0\n"     # zero-marked -> ignore region
+    )
+    res = tmp_path / "res.txt"
+    # tracks the pedestrian AND the static person (a correct detection
+    # the protocol must not penalize), plus one genuine FP
+    res.write_text(
+        "1,7,10,10,20,40,0.9\n1,8,200,10,20,40,0.9\n"
+        "1,9,400,10,20,40,0.9\n"
+        "2,7,12,10,20,40,0.9\n2,8,200,10,20,40,0.9\n"
+        "2,9,400,10,20,40,0.9\n"
+    )
+    gt_jsonl = str(tmp_path / "gt.jsonl")
+    res_jsonl = str(tmp_path / "res.jsonl")
+    cli.main(["import-mot", str(gt), "--out", gt_jsonl, "--gt",
+              "--context", "S"])
+    info = json.loads(capsys.readouterr().out)
+    assert info["ignore_records"] == 2
+    assert os.path.isfile(info["ignore_out"])
+    cli.main(["import-mot", str(res), "--out", res_jsonl, "--context", "S"])
+    capsys.readouterr()
+
+    # without --ignore: static-person + zero-marked dets count as FPs
+    cli.main(["eval", "--pred", res_jsonl, "--gt", gt_jsonl])
+    base = json.loads(capsys.readouterr().out)["S/1"]
+    assert base["num_fp"] == 4
+
+    cli.main(["eval", "--pred", res_jsonl, "--gt", gt_jsonl,
+              "--ignore", info["ignore_out"]])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[0]) == {"suppressed_on_ignore_regions": 2}
+    row = json.loads("\n".join(out[1:]))["S/1"]
+    assert row["num_fp"] == 2            # only the genuine FPs remain
+    assert row["num_matches"] == 2 and row["num_fn"] == 0
+    assert row["mota"] == pytest.approx(0.0)  # 2 GT, 2 FP

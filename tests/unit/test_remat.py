@@ -76,8 +76,14 @@ def test_trainer_remat_step_runs_and_learns_shape():
 
 
 def test_grad_accum_matches_manual_micro_batch_oracle():
-    """grad_accum_steps=2 must equal the manual composition: grads averaged
-    over sequential micro-batches with BN stats threaded through."""
+    """grad_accum_steps=2 must equal the manual composition: grads
+    POSITIVES-WEIGHTED-averaged over sequential micro-batches with BN stats
+    threaded through (review r4: a plain mean over micro-batches weights a
+    sparse micro-batch's per-positive gradients above the accum=1 run,
+    because the detection loss normalizes by each micro-batch's own
+    num_pos — the weighted mean recovers sum(loss_sums)/total_pos, the
+    full-batch objective). The rendered halves here have UNEQUAL positive
+    counts, so a plain mean would fail this oracle."""
     import dataclasses
 
     cfg1 = Config(detector=DET,
@@ -91,14 +97,20 @@ def test_grad_accum_matches_manual_micro_batch_oracle():
     state = tr1.create_state(jax.random.PRNGKey(0), batch_size=4)
     batch = render_detection_batch(np.random.default_rng(0), 4,
                                    DET.image_size)
+    # make the halves' positive counts VERY unequal: blank half 2's GT
+    batch["gt_valid"] = np.asarray(batch["gt_valid"]).copy()
+    batch["gt_valid"][2:, 1:] = False
 
     # manual oracle with the K=1 trainer: half 1 with initial stats, half 2
-    # with half-1's updated stats; grads averaged
+    # with half-1's updated stats; grads positives-weighted
     half = lambda s, e: {k: v[s:e] for k, v in batch.items()}  # noqa: E731
     g1, stats1, m1 = tr1._grads_and_stats(state.params, state.batch_stats,
                                           half(0, 2))
     g2, stats2, m2 = tr1._grads_and_stats(state.params, stats1, half(2, 4))
-    want_g = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+    w1 = max(float(m1["num_pos"]), 1.0)
+    w2 = max(float(m2["num_pos"]), 1.0)
+    assert abs(w1 - w2) > 4, (w1, w2)  # the oracle must exercise weighting
+    want_g = jax.tree.map(lambda a, b: (w1 * a + w2 * b) / (w1 + w2), g1, g2)
 
     got_g, got_stats, got_m = tr2._grads_and_stats(
         state.params, state.batch_stats, batch)

@@ -412,10 +412,19 @@ def cmd_import_mot(args):
         records, stats = read_mot_tree(args.input, gt=args.gt,
                                        camera_name=args.camera)
     n = subm.write_jsonl(args.out, records)
-    print(json.dumps({
+    out = {
         "records": n, "out": args.out, "skipped_ignore":
         stats.skipped_ignore, "skipped_class": stats.skipped_class,
-    }))
+    }
+    if stats.ignore:
+        # don't-care regions (zero-marked / distractor GT rows) as a
+        # sidecar: `w2t eval --gt <out> --ignore <sidecar>` removes
+        # predictions on them from the FP penalty set (the official
+        # MOT protocol; eval/mot.suppress_ignored)
+        ignore_path = os.path.splitext(args.out)[0] + ".ignore.jsonl"
+        out["ignore_records"] = subm.write_jsonl(ignore_path, stats.ignore)
+        out["ignore_out"] = ignore_path
+    print(json.dumps(out))
 
 
 def cmd_export_mot(args):
@@ -610,6 +619,37 @@ def cmd_eval(args):
 
     pred_rows = subm.read_jsonl(args.pred)
     gt_rows = subm.read_jsonl(args.gt)
+    if getattr(args, "ignore", None):
+        # protocol preprocessing (review r4): remove predictions sitting on
+        # don't-care regions (w2t import-mot --gt writes the sidecar) from
+        # the penalty set BEFORE any scoring, so the main, per-class and
+        # HOTA passes all see one prediction set
+        from waymo_2d_tracking_tpu.eval.mot import suppress_ignored
+
+        ign = to_frames(subm.read_jsonl(args.ignore))
+        gt_by = to_frames(gt_rows)
+        pred_by = to_frames(pred_rows)
+        kept_rows = []
+        for key, by_ts in pred_by.items():
+            for ts, rows in by_ts.items():
+                g = gt_by.get(key, {}).get(ts, [])
+                i = ign.get(key, {}).get(ts, [])
+                if not i:
+                    kept_rows.extend(rows)
+                    continue
+                (kept_ids, _), = suppress_ignored(
+                    [(np.arange(len(g)),
+                      np.array([r.to_xyxy() for r in g]).reshape(-1, 4))],
+                    [(np.arange(len(rows)),
+                      np.array([r.to_xyxy() for r in rows]).reshape(-1, 4))],
+                    [np.array([r.to_xyxy() for r in i]).reshape(-1, 4)],
+                    iou_threshold=args.iou,
+                )
+                kept_rows.extend(rows[k] for k in kept_ids)
+        n_removed = len(pred_rows) - len(kept_rows)
+        pred_rows = kept_rows
+        if n_removed:
+            print(json.dumps({"suppressed_on_ignore_regions": n_removed}))
     workers = getattr(args, "workers", 0) or 0
     pool = None
     if workers > 1:
@@ -1069,6 +1109,12 @@ def build_parser():
     sp.add_argument("--pred", required=True)
     sp.add_argument("--gt", required=True)
     sp.add_argument("--iou", type=float, default=0.5)
+    sp.add_argument("--ignore", default=None,
+                    help="don't-care regions JSONL (the .ignore.jsonl "
+                         "sidecar `w2t import-mot --gt` writes): "
+                         "predictions on these regions are removed from "
+                         "the FP penalty set before scoring (official MOT "
+                         "protocol; eval/mot.suppress_ignored)")
     sp.add_argument("--hota", action="store_true",
                     help="additionally compute HOTA/DetA/AssA/LocA "
                          "(Luiten et al. 2021; eval/hota.py) per segment "

@@ -46,8 +46,14 @@ def average_precision(
     iou_thr: float,
     gt_ignore: Mapping[object, np.ndarray] | None = None,
     det_ignore: Mapping[object, np.ndarray] | None = None,
+    iou_cache: Mapping[object, np.ndarray] | None = None,
 ) -> float:
     """AP for ONE class at one IoU threshold.
+
+    iou_cache: image_key -> (G, D) IoU matrix, shared across the 40
+    (threshold x stratum) calls evaluate_detections makes per class —
+    IoUs depend on neither (review r4: they were recomputed per call,
+    per detection).
 
     preds: image_key -> (boxes (D,4) xyxy, scores (D,)).
     gts:   image_key -> boxes (G,4) xyxy.
@@ -84,8 +90,10 @@ def average_precision(
         if len(gt_boxes) == 0:
             fp[i] = 0 if d_ign else 1
             continue
-        box = preds[img][0][d]
-        ious = _iou_matrix(gt_boxes, box[None])[:, 0]
+        if iou_cache is not None:
+            ious = iou_cache[img][:, d]
+        else:
+            ious = _iou_matrix(gt_boxes, preds[img][0][d][None])[:, 0]
         avail = np.where(matched[img], -1.0, ious)  # COCO: best UNMATCHED gt
         ign = (gt_ignore[img] if gt_ignore is not None
                else np.zeros(len(gt_boxes), bool))
@@ -147,6 +155,11 @@ def evaluate_detections(
 
         gt_areas = {key: _areas(b) for key, b in gts.items()}
         det_areas = {key: _areas(b) for key, (b, _s) in preds.items()}
+        # one (G, D) IoU matrix per image, shared by all 40 AP calls below
+        iou_cache = {
+            key: _iou_matrix(gts.get(key, np.zeros((0, 4))), b)
+            for key, (b, _s) in preds.items()
+        }
         # per-stratum ignore masks depend only on the stratum — built once,
         # shared across the IoU-threshold loop
         strata = {
@@ -157,11 +170,12 @@ def evaluate_detections(
             for name, (lo, hi) in area_ranges.items()
         }
         for t, thr in enumerate(iou_thrs):
-            per_thr_cls[t, cls] = average_precision(preds, gts, float(thr))
+            per_thr_cls[t, cls] = average_precision(
+                preds, gts, float(thr), iou_cache=iou_cache)
             for name, (g_ign, d_ign) in strata.items():
                 per_size[name][t, cls] = average_precision(
                     preds, gts, float(thr), gt_ignore=g_ign,
-                    det_ignore=d_ign,
+                    det_ignore=d_ign, iou_cache=iou_cache,
                 )
 
     out: Dict[str, float] = {}

@@ -7,14 +7,24 @@ into detection (DetA) and association (AssA) accuracy and integrates over
 localization thresholds instead of fixing IoU>=0.5. Implemented to match
 the official TrackEval procedure:
 
-Per localization threshold alpha:
-  pass 1: per frame, "potential matches" are (gt, pred) pairs with
-      IoU >= alpha; accumulate per-(gt_id, pred_id) potential-match counts
-      and per-id detection counts, giving the global alignment score
-      A_max(g, p) = |pot(g, p)| / (|g| + |p| - |pot(g, p)|)   (Jaccard).
-  pass 2: per frame, Hungarian-match maximizing the global alignment score
-      of feasible pairs (similarity breaks ties), restricted to
-      IoU >= alpha. Matches are TPs; accumulate matched counts per pair.
+The EXACT TrackEval procedure (trackeval/metrics/hota.py), including its
+two subtleties a naive reading of the paper misses (review r4 — the first
+implementation thresholded pass 1 per alpha and matched on
+1000*alignment + IoU, both of which can pick different TP pairs than
+TrackEval and make the reported number non-comparable):
+
+  pass 1 (ONCE, alpha-independent): per frame, the potential-match count
+      for each (gt_id, pred_id) pair accumulates the SOFT Jaccard-style
+      similarity  sim_iou = iou / (rowsum + colsum - iou), not a
+      thresholded 0/1 count. Global alignment score
+      A_max(g, p) = pot(g, p) / (|g| + |p| - pot(g, p)).
+  pass 2: per frame, Hungarian on  score = A_max * IoU  over ALL pairs
+      (a PRODUCT — alignment does not lexicographically dominate);
+      assigned pairs count as TPs only where IoU >= alpha - eps.
+      TrackEval re-runs this assignment identically for each of the 19
+      alphas; since neither A_max nor IoU depends on alpha, we run the
+      Hungarian once per frame and apply the 19 per-alpha filters to the
+      one assignment — bit-equal results, 19x less assignment work.
   DetA  = TP / (TP + FN + FP)
   AssA  = mean over TPs of  TPA / (TPA + FNA + FPA), where for a TP with
           ids (g, p): TPA = matched(g, p), FNA = |g| - TPA, FPA = |p| - TPA
@@ -63,71 +73,77 @@ class HotaMetrics:
         return d
 
 
-def _eval_alpha(
-    gt_frames, hyp_frames, ious: List[np.ndarray], alpha: float,
-) -> Tuple[float, float, float, float, float]:
-    """One localization threshold -> (tp, fn, fp, ass_sum, loc_sum)."""
-    # pass 1: global alignment from potential matches
-    pot: Dict[Tuple[int, int], int] = {}
-    gt_count: Dict[int, int] = {}
-    pr_count: Dict[int, int] = {}
-    for (gt_ids, _), (hyp_ids, _), iou in zip(gt_frames, hyp_frames, ious):
-        for gid in gt_ids:
-            gt_count[int(gid)] = gt_count.get(int(gid), 0) + 1
-        for pid in hyp_ids:
-            pr_count[int(pid)] = pr_count.get(int(pid), 0) + 1
+def _intern_ids(frames) -> Tuple[List[np.ndarray], int]:
+    """Per-frame id arrays -> per-frame contiguous index arrays + id count."""
+    table: Dict[int, int] = {}
+    out = []
+    for ids, _ in frames:
+        out.append(np.array(
+            [table.setdefault(int(i), len(table)) for i in ids], np.intp
+        ))
+    return out, len(table)
+
+
+def _eval_all_alphas(
+    gt_frames, hyp_frames, ious: List[np.ndarray],
+    alphas: Sequence[float],
+) -> np.ndarray:
+    """All thresholds -> (A, 5) per-alpha (tp, fn, fp, ass_sum, loc_sum).
+
+    Vectorized over ids (interned to contiguous indices) and over alphas
+    (one Hungarian per frame, 19 filters) — the nested per-pair Python
+    loops this replaces dominated eval wall-clock on real-scale clips
+    (review r4)."""
+    eps = np.finfo(float).eps
+    gidx_frames, n_gt_ids = _intern_ids(gt_frames)
+    pidx_frames, n_pr_ids = _intern_ids(hyp_frames)
+    alphas = np.asarray(alphas, float)
+    n_a = len(alphas)
+
+    # pass 1 (once): soft potential-match counts + per-id appearance counts
+    pot = np.zeros((n_gt_ids, n_pr_ids))
+    gt_count = np.zeros(n_gt_ids)
+    pr_count = np.zeros(n_pr_ids)
+    for gidx, pidx, iou in zip(gidx_frames, pidx_frames, ious):
+        np.add.at(gt_count, gidx, 1)
+        np.add.at(pr_count, pidx, 1)
         if iou.size == 0:
             continue
-        for gi, pj in zip(*np.nonzero(iou >= alpha)):
-            key = (int(gt_ids[gi]), int(hyp_ids[pj]))
-            pot[key] = pot.get(key, 0) + 1
+        denom = iou.sum(0)[None, :] + iou.sum(1)[:, None] - iou
+        sim = np.where(denom > eps, iou / np.maximum(denom, eps), 0.0)
+        pot[np.ix_(gidx, pidx)] += sim
+    align = pot / np.maximum(gt_count[:, None] + pr_count[None, :] - pot,
+                             eps)
 
-    def align(gid: int, pid: int) -> float:
-        p = pot.get((gid, pid), 0)
-        return p / max(gt_count[gid] + pr_count[pid] - p, 1)
-
-    # pass 2: per-frame Hungarian on global alignment (similarity tiebreak)
-    matched: Dict[Tuple[int, int], int] = {}
-    tp = 0
-    loc_sum = 0.0
-    total_gt = sum(gt_count.values())
-    total_pr = sum(pr_count.values())
-    tp_pairs: List[Tuple[int, int]] = []  # one entry per TP (with repeats)
-    for (gt_ids, _), (hyp_ids, _), iou in zip(gt_frames, hyp_frames, ious):
-        g, h = len(gt_ids), len(hyp_ids)
-        if g == 0 or h == 0 or iou.size == 0:
+    # pass 2: one Hungarian per frame on align * iou; per-alpha TP filter
+    matched = np.zeros((n_a, n_gt_ids, n_pr_ids), np.float32)
+    tp = np.zeros(n_a)
+    loc_sum = np.zeros(n_a)
+    for gidx, pidx, iou in zip(gidx_frames, pidx_frames, ious):
+        if iou.size == 0:
             continue
-        feasible = iou >= alpha
-        if not feasible.any():
-            continue
-        score = np.zeros((g, h))
-        for gi in range(g):
-            for pj in range(h):
-                if feasible[gi, pj]:
-                    # TrackEval ordering: global alignment dominates,
-                    # per-frame similarity only breaks ties
-                    score[gi, pj] = (
-                        1000.0 * align(int(gt_ids[gi]), int(hyp_ids[pj]))
-                        + iou[gi, pj]
-                    )
+        score = align[np.ix_(gidx, pidx)] * iou
         ri, ci = linear_sum_assignment(-score)
-        for r, c in zip(ri, ci):
-            if feasible[r, c]:
-                key = (int(gt_ids[r]), int(hyp_ids[c]))
-                matched[key] = matched.get(key, 0) + 1
-                tp += 1
-                loc_sum += float(iou[r, c])
-                tp_pairs.append(key)
+        sims = iou[ri, ci]
+        ok_all = sims[None, :] >= alphas[:, None] - eps      # (A, M)
+        tp += ok_all.sum(axis=1)
+        loc_sum += np.where(ok_all, sims[None, :], 0.0).sum(axis=1)
+        gi, pi = gidx[ri], pidx[ci]
+        for a in np.flatnonzero(ok_all.any(axis=1)):
+            ok = ok_all[a]
+            np.add.at(matched[a], (gi[ok], pi[ok]), 1.0)
 
-    fn = total_gt - tp
-    fp = total_pr - tp
-    ass_sum = 0.0
-    for gid, pid in tp_pairs:
-        tpa = matched[(gid, pid)]
-        fna = gt_count[gid] - tpa
-        fpa = pr_count[pid] - tpa
-        ass_sum += tpa / max(tpa + fna + fpa, 1)
-    return float(tp), float(fn), float(fp), ass_sum, loc_sum
+    total_gt = gt_count.sum()
+    total_pr = pr_count.sum()
+    # AssA numerator: sum over TPs of TPA/(TPA+FNA+FPA)
+    #   = sum over pairs of matched * (matched / (|g| + |p| - matched))
+    denom = np.maximum(
+        gt_count[None, :, None] + pr_count[None, None, :] - matched, 1.0
+    )
+    ass_sum = (matched * (matched / denom)).sum(axis=(1, 2))
+    return np.stack(
+        [tp, total_gt - tp, total_pr - tp, ass_sum, loc_sum], axis=1
+    )
 
 
 def _metrics_from_counts(
@@ -183,9 +199,7 @@ def evaluate_hota(
         else:
             ious.append(np.zeros((len(gt_ids), len(hyp_ids))))
 
-    counts = np.array(
-        [_eval_alpha(gt_frames, hyp_frames, ious, a) for a in alphas]
-    ).reshape(len(alphas), 5)
+    counts = _eval_all_alphas(gt_frames, hyp_frames, ious, alphas)
     return _metrics_from_counts(alphas, counts, len(gt_frames), num_gt,
                                 num_pred)
 

@@ -207,6 +207,70 @@ def evaluate_mot(
     )
 
 
+def suppress_ignored(
+    gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
+    hyp_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
+    ignore_frames: Sequence[np.ndarray],
+    iou_threshold: float = 0.5,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Protocol preprocessing: drop hypothesis boxes sitting on ignore /
+    distractor regions (review r4 — MOT-style GT carries 'do not care'
+    annotations: zero-marked rows, static persons, reflections, crowds;
+    the official scorers remove tracker boxes matched to them BEFORE
+    counting FPs, so a tracker is not penalized for detecting something a
+    human annotator declined to score).
+
+    Per frame: hypotheses are first Hungarian-matched to the real GT
+    (IoU >= iou_threshold); an UNMATCHED hypothesis is then removed when
+    it overlaps an ignore box at IoU >= iou_threshold, or when >= 50% of
+    its own area lies inside one (the region test — a small detection
+    inside a large crowd region has tiny IoU but is exactly what the
+    region marks). Matched hypotheses are never removed.
+
+    Returns filtered hyp_frames, applied identically before CLEAR/IDF1
+    and HOTA so all metrics see one prediction set. This mirrors (not
+    bit-replicates) TrackEval's MOTChallenge preprocessing, which matches
+    distractors jointly; the practical difference is confined to boxes
+    that tie between a real GT and a distractor at the same IoU.
+    """
+    out: List[Tuple[np.ndarray, np.ndarray]] = []
+    for (gt_ids, gt_boxes), (hyp_ids, hyp_boxes), ign in zip(
+        gt_frames, hyp_frames, ignore_frames
+    ):
+        hyp_ids = np.asarray(hyp_ids)
+        hyp_boxes = np.asarray(hyp_boxes, float).reshape(len(hyp_ids), 4)
+        ign = np.asarray(ign, float).reshape(-1, 4)
+        if len(hyp_ids) == 0 or len(ign) == 0:
+            out.append((hyp_ids, hyp_boxes))
+            continue
+        matched = np.zeros(len(hyp_ids), bool)
+        gt_boxes = np.asarray(gt_boxes, float).reshape(len(gt_ids), 4)
+        if len(gt_ids):
+            iou = _frame_iou(gt_boxes, hyp_boxes)
+            cost = 1.0 - iou
+            cost[iou < iou_threshold] = 1e6
+            ri, ci = linear_sum_assignment(cost)
+            for r, c in zip(ri, ci):
+                if iou[r, c] >= iou_threshold:
+                    matched[c] = True
+        ign_iou = _frame_iou(ign, hyp_boxes)            # (I, H)
+        # intersection / hyp area (region containment)
+        x1 = np.maximum(ign[:, None, 0], hyp_boxes[None, :, 0])
+        y1 = np.maximum(ign[:, None, 1], hyp_boxes[None, :, 1])
+        x2 = np.minimum(ign[:, None, 2], hyp_boxes[None, :, 2])
+        y2 = np.minimum(ign[:, None, 3], hyp_boxes[None, :, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        areas = np.maximum(
+            (hyp_boxes[:, 2] - hyp_boxes[:, 0])
+            * (hyp_boxes[:, 3] - hyp_boxes[:, 1]), 1e-9)
+        on_ignore = np.logical_or(
+            ign_iou >= iou_threshold, inter / areas[None, :] >= 0.5
+        ).any(axis=0)
+        keep = np.logical_or(matched, ~on_ignore)
+        out.append((hyp_ids[keep], hyp_boxes[keep]))
+    return out
+
+
 def track_outputs_to_frames(outputs, num_frames: int):
     """Convert stacked TrackOutputs (T, S) pytree -> list of (ids, boxes)."""
     valid = np.asarray(outputs.valid)

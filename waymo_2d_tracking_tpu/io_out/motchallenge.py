@@ -23,11 +23,20 @@ Mapping decisions (documented, round-trip tested):
   period; exact integer round-trip, ordering-preserving).
 - sequence name <-> ``context_name``; ``camera_name`` is fixed (FRONT=1)
   since MOT sequences are single-camera.
-- MOT gt classes: 1 (pedestrian) and 7 (static person) -> PEDESTRIAN;
-  3 (car) -> VEHICLE; 4/5 (bicycle, motorbike) -> CYCLIST. Distractor /
-  ignore classes (2, 8, 9, ...) and conf==0 rows are skipped — the CLEAR
-  protocol excludes them from both GT and penalty sets; we drop them at
-  import and report the count.
+- MOT gt classes: 1 (pedestrian) -> PEDESTRIAN; 3 (car) -> VEHICLE;
+  4/5 (bicycle, motorbike) -> CYCLIST (scoring cars/cyclists is our
+  multi-class extension; official MOTChallenge scores pedestrians only).
+- Distractor classes (2 person-on-vehicle, 7 static person, 8 distractor,
+  12 reflection — TrackEval's MOT17 set) and conf==0 ("do not consider")
+  rows become IGNORE REGIONS, returned separately in
+  ``MotImportStats.ignore`` (review r4: they were silently dropped, so
+  tracker boxes on them counted as FPs and MOTA came out strictly lower
+  than official scorers' — the protocol removes predictions matched to
+  them from the penalty set; ``eval/mot.suppress_ignored`` applies that,
+  ``w2t import-mot --gt`` writes them to a ``.ignore.jsonl`` sidecar and
+  ``w2t eval --ignore`` consumes it).
+- Occluder classes (9, 10, 11) and other unmapped ids stay dropped
+  (``skipped_class``): they are scene furniture, not don't-care targets.
 """
 from __future__ import annotations
 
@@ -46,14 +55,16 @@ from waymo_2d_tracking_tpu.io_out.submission import (
 # 10 Hz camera period in microseconds; MOT frame numbers are 1-based
 FRAME_PERIOD_US = 100_000
 
-# MOTChallenge gt class id -> Waymo label type (None = ignore the row)
+# MOTChallenge gt class id -> Waymo label type (scored GT)
 MOT_CLASS_TO_TYPE = {
     1: TYPE_PEDESTRIAN,   # pedestrian
     3: TYPE_VEHICLE,      # car
     4: TYPE_CYCLIST,      # bicycle
     5: TYPE_CYCLIST,      # motorbike
-    7: TYPE_PEDESTRIAN,   # static person
 }
+# "don't care" targets (TrackEval MOT17 distractor set): predictions on
+# these must not count as FPs — imported as ignore regions, NOT as GT
+MOT_DISTRACTOR_CLASSES = frozenset({2, 7, 8, 12})
 _TYPE_TO_MOT_CLASS = {
     TYPE_PEDESTRIAN: 1,
     TYPE_VEHICLE: 3,
@@ -64,8 +75,12 @@ _TYPE_TO_MOT_CLASS = {
 @dataclasses.dataclass
 class MotImportStats:
     kept: int = 0
-    skipped_ignore: int = 0    # conf == 0 (gt "do not consider")
-    skipped_class: int = 0     # distractor / unmapped class id
+    skipped_ignore: int = 0    # rows imported as ignore regions instead
+    skipped_class: int = 0     # occluder / unmapped class id (dropped)
+    # conf==0 and distractor-class GT rows as records (boxes are what
+    # matters; object_type/score carry debug value only) — feed their
+    # boxes to eval/mot.suppress_ignored
+    ignore: List[TrackRecord] = dataclasses.field(default_factory=list)
 
 
 def frame_to_timestamp(frame: int) -> int:
@@ -108,10 +123,22 @@ def read_mot(
                     f"frame,id,left,top,w,h[,conf,...]): {line!r}") from e
             conf = float(parts[6]) if len(parts) > 6 else 1.0
             if gt:
-                if conf == 0:
-                    stats.skipped_ignore += 1
-                    continue
                 cls = int(float(parts[7])) if len(parts) > 7 else 1
+                if conf == 0 or cls in MOT_DISTRACTOR_CLASSES:
+                    # "do not consider": an ignore region, not scored GT —
+                    # and not silently dropped either (predictions on it
+                    # must be removable from the FP penalty set)
+                    stats.skipped_ignore += 1
+                    stats.ignore.append(TrackRecord.from_xyxy(
+                        context_name=context_name,
+                        timestamp_micros=frame_to_timestamp(frame),
+                        camera_name=camera_name,
+                        object_id=f"ignore_{tid}",
+                        object_type=MOT_CLASS_TO_TYPE.get(cls, default_type),
+                        box_xyxy=(left, top, left + w, top + h),
+                        score=0.0,
+                    ))
+                    continue
                 otype = MOT_CLASS_TO_TYPE.get(cls)
                 if otype is None:
                     stats.skipped_class += 1
@@ -181,6 +208,7 @@ def read_mot_tree(
             stats.kept += st.kept
             stats.skipped_ignore += st.skipped_ignore
             stats.skipped_class += st.skipped_class
+            stats.ignore.extend(st.ignore)
     if not found:
         raise FileNotFoundError(
             f"no MOT .txt files under {path!r} (expected <seq>.txt or "

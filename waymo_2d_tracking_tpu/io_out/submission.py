@@ -182,6 +182,19 @@ def read_waymo_pb(path: str) -> List[TrackRecord]:
     return out
 
 
+def _waymo_type(cls: int) -> int:
+    """Internal class id -> Waymo type; raises on out-of-range ids instead
+    of silently aliasing (review r4: `% 3` mapped class 3 to TYPE_VEHICLE
+    with no error — eval/ap.records_to_frames explicitly refuses the same
+    aliasing, so the write and read surfaces now agree)."""
+    if not 0 <= cls < len(CLASS_TO_WAYMO_TYPE):
+        raise ValueError(
+            f"class id {cls} has no Waymo type mapping (tracked classes are "
+            f"0..{len(CLASS_TO_WAYMO_TYPE) - 1}: vehicle/pedestrian/cyclist)"
+        )
+    return CLASS_TO_WAYMO_TYPE[cls]
+
+
 def records_from_detections(
     dets, context_name: str, timestamps: Sequence[int], camera_name: int,
     scale: float = 1.0,
@@ -199,7 +212,7 @@ def records_from_detections(
                 TrackRecord.from_xyxy(
                     context_name, timestamps[t], camera_name,
                     object_id=f"det_{t}_{int(i)}",
-                    object_type=CLASS_TO_WAYMO_TYPE[int(classes[t, i]) % 3],
+                    object_type=_waymo_type(int(classes[t, i])),
                     box_xyxy=boxes[t, i], score=scores[t, i],
                 )
             )
@@ -229,7 +242,7 @@ def records_from_track_outputs(
                 TrackRecord.from_xyxy(
                     context_name, timestamps[t], camera_name,
                     object_id=f"{camera_name}_{int(ids[t, s])}",
-                    object_type=CLASS_TO_WAYMO_TYPE[int(classes[t, s]) % 3],
+                    object_type=_waymo_type(int(classes[t, s])),
                     box_xyxy=boxes[t, s], score=scores[t, s],
                 )
             )

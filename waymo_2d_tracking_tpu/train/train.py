@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -151,9 +152,16 @@ class DetectorTrainer:
             # micro-batches and lax.scan the backward over them — only one
             # micro-batch's activations are live at a time (composes with
             # remat), trading steps/sec for effective batch size. BN stats
-            # update sequentially per micro-batch (the torch convention);
-            # grads are the mean over micro-batches = the full-batch grad
-            # for all sample-mean losses.
+            # update sequentially per micro-batch (the torch convention).
+            # Grads are the POSITIVES-WEIGHTED mean over micro-batches, not
+            # the plain mean (review r4): the detection loss normalizes by
+            # each micro-batch's own num_pos, so a plain mean would weight a
+            # sparse micro-batch's per-positive gradients far above the
+            # accum=1 run on the identical batch — weighting by
+            # max(num_pos, 1) recovers sum(loss_sums)/total_pos, the
+            # full-batch detection objective (exactly, when every
+            # micro-batch has >=1 positive; BN batch-statistics sequencing
+            # aside).
             n = batch["images"].shape[0]
             if n % accum != 0:
                 raise ValueError(
@@ -164,14 +172,16 @@ class DetectorTrainer:
                 lambda x: x.reshape((accum, micro) + x.shape[1:]), batch)
 
             def micro_step(carry, mb):
-                stats, gsum = carry
+                stats, gsum, wsum = carry
                 (_, (m, stats)), g = grad_fn(params, stats, mb)
-                return (stats, jax.tree.map(jnp.add, gsum, g)), m
+                w = jnp.maximum(m["num_pos"], 1.0)
+                gsum = jax.tree.map(lambda a, b: a + w * b, gsum, g)
+                return (stats, gsum, wsum + w), m
 
             gzero = jax.tree.map(jnp.zeros_like, params)
-            (new_stats, gsum), metrics_seq = jax.lax.scan(
-                micro_step, (batch_stats, gzero), stacked)
-            grads = jax.tree.map(lambda g: g / accum, gsum)
+            (new_stats, gsum, wsum), metrics_seq = jax.lax.scan(
+                micro_step, (batch_stats, gzero, jnp.float32(0.0)), stacked)
+            grads = jax.tree.map(lambda g: g / wsum, gsum)
             metrics = jax.tree.map(lambda x: jnp.mean(x, axis=0),
                                    metrics_seq)
         return grads, new_stats, metrics
@@ -229,6 +239,10 @@ class DetectorTrainer:
         path = path or self.cfg.train.checkpoint_dir
         if not exact_path:
             path = f"{path}/step_{int(state.step)}"
+        # orbax requires absolute paths (raises ValueError otherwise) — a
+        # relative train.checkpoint_dir used to crash at the FIRST save,
+        # after a full checkpoint_every of training work (review r4)
+        path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, jax.device_get(state), force=True)
         ckptr.wait_until_finished()
@@ -238,7 +252,8 @@ class DetectorTrainer:
 
         ckptr = ocp.StandardCheckpointer()
         try:
-            return ckptr.restore(path, jax.device_get(template))
+            return ckptr.restore(os.path.abspath(path),
+                                 jax.device_get(template))
         except (ValueError, KeyError) as e:
             # A pytree/structure mismatch has several possible causes; the
             # common one since the round-2 default flip conv7 -> s2d
