@@ -84,7 +84,8 @@ def stage1_cost(
 
     if cfg.motion_gate > 0.0:
         meas = boxes_xyxy_to_cxcywh(dets.boxes)          # (D, 4)
-        d2 = gating_distance(state.mean, state.cov, meas)  # (S, D)
+        d2 = gating_distance(state.mean, state.cov, meas,
+                             cfg.kalman)                 # (S, D)
         forbid = jnp.logical_or(forbid, d2 > cfg.motion_gate)
 
     forbid = jnp.logical_or(forbid, state.classes[:, None] != dets.classes[None, :])

@@ -119,14 +119,25 @@ def update(
 
 
 def gating_distance(
-    mean: jnp.ndarray, cov: jnp.ndarray, meas: jnp.ndarray
+    mean: jnp.ndarray, cov: jnp.ndarray, meas: jnp.ndarray,
+    cfg: KalmanConfig = KalmanConfig(),
 ) -> jnp.ndarray:
     """Squared Mahalanobis distance of measurements to track predictions.
 
     mean (..., S, 8), cov (..., S, 8, 8), meas (..., D, 4) -> (..., S, D).
-    Used for chi-square motion gating of the association cost (DeepSORT-style).
+    Used for chi-square motion gating of the association cost
+    (DeepSORT-style). The innovation covariance is the PROJECTED one,
+    HPH^T + R with R from the track's predicted height — omitting R
+    (review r4) made the statistic ~2x the DeepSORT convention for a
+    converged track (whose P[:4,:4] is comparable to R), so true matches
+    with ordinary measurement noise blew the chi2-95% gate the
+    motion_gate default encodes, fragmenting tracks.
     """
-    s = cov[..., :MEAS_DIM, :MEAS_DIM]                           # (..., S, 4, 4)
+    h_trk = jnp.maximum(mean[..., 3], 1.0)                       # (..., S)
+    r = _measurement_noise_diag(h_trk, cfg)                      # (..., S, 4)
+    s = cov[..., :MEAS_DIM, :MEAS_DIM] + (
+        jnp.eye(MEAS_DIM, dtype=cov.dtype) * r[..., None, :]
+    )                                                            # (..., S, 4, 4)
     diff = meas[..., None, :, :] - mean[..., :, None, :MEAS_DIM]  # (..., S, D, 4)
     chol = jnp.linalg.cholesky(
         s + 1e-6 * jnp.eye(MEAS_DIM, dtype=s.dtype)
