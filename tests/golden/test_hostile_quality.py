@@ -14,6 +14,20 @@ Measured round 4 (tools/perf_hostile_knobs.py, CPU, deterministic seeds):
              biou0.3  mota 0.7634 idf1 0.8594 idsw 4        <- buffered IoU
              byte+biou mota 0.7879 idf1 0.8727 idsw 4
   storm      all nine variants identical: mota 0.8840 idf1 0.9384 idsw 0
+
+Round 5 (VERDICT r4 item 1c): motion_gate measured on every clip including
+ghost_clutter, the appearance-identical-ghost regime scripted FOR it. The
+projected-innovation gate (chi2-95% = 9.4877) NEVER wins MOTA/IDF1: the
+Kalman posterior half-absorbs a matched ghost and stays a TP, while
+rejecting it is a hard FN plus a twin birth. Its one measured virtue is
+precision — FP 83 -> 24 (-71%) on ghost_clutter — and under unmodeled
+global motion it is catastrophic (curved_pan IDSW 7 -> 62, storm 0 -> 39).
+Hence the 0.0 default; enable only when FP cost dominates and the motion
+model is sound. Locked below.
+
+  ghost_clutter base      mota 0.8493 idf1 0.9164 idsw  8 fn 347 fp 83
+                mgate9.5  mota 0.8125 idf1 0.8778 idsw 12 fn 509 fp 24
+  curved_pan    mgate9.5  mota 0.6960 idf1 0.6891 idsw 62
 """
 import dataclasses
 
@@ -90,6 +104,41 @@ def test_byte_biou_compose(pan):
     assert combo.mota >= base.mota + 0.02, (base.as_dict(), combo.as_dict())
     assert combo.idf1 >= base.idf1 + 0.03, (base.as_dict(), combo.as_dict())
     assert combo.mota >= 0.77 and combo.idf1 >= 0.86, combo.as_dict()
+
+
+MGATE = dataclasses.replace(BASE, motion_gate=9.4877)
+
+
+@pytest.fixture(scope="module")
+def ghost():
+    clip = HOSTILE_CLIPS["ghost_clutter"]
+    return {"base": _metrics(BASE, clip), "mgate": _metrics(MGATE, clip)}
+
+
+def test_motion_gate_cuts_ghost_false_positives(ghost):
+    """The gate's ONE measured win, in the regime scripted for it
+    (appearance-identical offset ghosts): FP 83 -> 24 (-71%). MOTA goes the
+    OTHER way (0.849 -> 0.813) — absorbing a ghost into the Kalman
+    posterior keeps the track a TP, rejecting it is a hard FN — which is
+    exactly why the default is 0.0. Both directions are locked."""
+    base, mg = ghost["base"], ghost["mgate"]
+    assert mg.num_fp <= int(base.num_fp * 0.45), (base.as_dict(), mg.as_dict())
+    assert base.mota >= mg.mota, (base.as_dict(), mg.as_dict())
+    assert mg.mota >= 0.79 and mg.idf1 >= 0.86, mg.as_dict()
+    assert base.mota >= 0.83 and base.idf1 >= 0.90, base.as_dict()
+
+
+def test_motion_gate_harms_under_unmodeled_pan(pan):
+    """Under camera pan + acceleration the constant-velocity prediction is
+    wrong by construction, so the chi-square gate forbids exactly the
+    matches that keep identities: IDSW 7 -> 62, IDF1 -0.14 measured. Locked
+    so the config guidance ('never under unmodeled global motion') stays
+    backed by a number."""
+    gated = _metrics(MGATE, HOSTILE_CLIPS["curved_pan"])
+    base = pan["base"]
+    assert gated.num_idsw >= base.num_idsw + 20, (
+        base.as_dict(), gated.as_dict())
+    assert gated.idf1 <= base.idf1 - 0.08, (base.as_dict(), gated.as_dict())
 
 
 def test_storm_lifecycle_floor():

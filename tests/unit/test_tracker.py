@@ -164,12 +164,20 @@ def test_next_id_monotonic_and_dense():
 
 
 def test_motion_gate_blocks_implausible_jump():
-    """With Mahalanobis motion gating on (round-2 wiring of
-    kalman.gating_distance), a detection teleporting far from the Kalman
-    prediction but still IoU-overlapping must NOT extend the track; with the
-    gate off it does. Uses a huge box so a big jump keeps IoU high."""
+    """With Mahalanobis motion gating on, a detection teleporting far from
+    the Kalman prediction but still IoU-overlapping must NOT extend the
+    track; with the gate off it does. Uses a huge box so a big jump keeps
+    IoU well above the test's iou_threshold.
+
+    The statistic is the DeepSORT projected-innovation form (S = HPH^T + R,
+    round 5): for a track converged on a stationary 400px box, a 160px
+    diagonal jump measures d^2 = 35.1 (robustly above the chi2-95% 4-dof
+    gate 9.4877, IoU ~= 0.22) while an 80px jump measures d^2 = 8.77 —
+    inside the gate by design, since with R = (0.05 h)^2 in S an offset of
+    ~20% of box height is within ordinary measurement noise. The companion
+    test below pins both numbers."""
     big = (0.0, 0.0, 400.0, 400.0)
-    jumped = (80.0, 80.0, 480.0, 480.0)  # IoU ~0.66, Mahalanobis huge
+    jumped = (160.0, 160.0, 560.0, 560.0)  # IoU ~0.22, d^2 = 35.1
     frames = [[(np.array(big, np.float32), 0.9, 0)]] * 4 + [
         [(np.array(jumped, np.float32), 0.9, 0)]
     ]
@@ -185,6 +193,44 @@ def test_motion_gate_blocks_implausible_jump():
     # gated: association forbidden -> no confirmed emission on the jump frame
     # (the new birth is tentative; the old track is missing)
     assert emitted_ids(outs_gated, 4) != emitted_ids(outs_gated, 3)
+
+
+def test_gating_distance_projected_innovation_statistic():
+    """Pins the round-5 gating_distance semantics (S = HPH^T + R, the
+    DeepSORT ``project()`` convention) on the canonical stationary-box
+    scenario, so any future rescale of the statistic fails HERE with the
+    numbers in hand rather than indirectly through lifecycle behavior:
+
+    - 160px jump on a converged 400px box -> d^2 = 35.1 (blocked at 9.4877)
+    - 80px jump  on the same track        -> d^2 = 8.77 (admitted: ~20% of
+      box height is inside measurement noise once R is in S)
+    - scale-free: d^2 depends only on jump/height (40px on a 100px box
+      equals 160px on a 400px box)
+    """
+    from waymo_2d_tracking_tpu.config import KalmanConfig
+    from waymo_2d_tracking_tpu.tracker import kalman
+
+    cfg = KalmanConfig()
+
+    def converged_d2(h, jump):
+        meas0 = jnp.array([[h / 2.0, h / 2.0, h, h]], jnp.float32)
+        mean, cov = kalman.init_track(meas0, cfg)
+        for _ in range(3):
+            mean, cov = kalman.predict(mean, cov, cfg)
+            mean, cov = kalman.update(mean, cov, meas0, cfg)
+        mean, cov = kalman.predict(mean, cov, cfg)
+        probe = meas0 + jnp.array([[jump, jump, 0.0, 0.0]], jnp.float32)
+        d2 = kalman.gating_distance(mean, cov, probe[None], cfg)
+        return float(np.asarray(d2).reshape(-1)[0])
+
+    chi2_95_4dof = 9.4877
+    d2_block = converged_d2(400.0, 160.0)
+    d2_admit = converged_d2(400.0, 80.0)
+    assert abs(d2_block - 35.09) < 0.5
+    assert abs(d2_admit - 8.77) < 0.3
+    assert d2_block > chi2_95_4dof > d2_admit
+    # scale-free in jump/height
+    assert abs(converged_d2(100.0, 40.0) - d2_block) < 0.5
 
 
 def test_birth_iou_suppression():

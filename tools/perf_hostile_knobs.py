@@ -59,6 +59,13 @@ VARIANTS = {
     "byte+biou+nsa": dataclasses.replace(
         BASE, byte_low_threshold=0.1, iou_buffer=0.3,
         kalman=KalmanConfig(nsa=True)),
+    # round 5: motion_gate regime measurement (VERDICT r4 item 1c) against
+    # the projected-innovation statistic (chi2 4-dof: 95% = 9.4877,
+    # 99.9% = 18.467)
+    "mgate9.5": dataclasses.replace(BASE, motion_gate=9.4877),
+    "mgate18.5": dataclasses.replace(BASE, motion_gate=18.467),
+    "byte+biou+mg": dataclasses.replace(
+        BASE, byte_low_threshold=0.1, iou_buffer=0.3, motion_gate=9.4877),
 }
 
 

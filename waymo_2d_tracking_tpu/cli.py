@@ -643,7 +643,11 @@ def cmd_eval(args):
                     [(np.arange(len(rows)),
                       np.array([r.to_xyxy() for r in rows]).reshape(-1, 4))],
                     [np.array([r.to_xyxy() for r in i]).reshape(-1, 4)],
-                    iou_threshold=args.iou,
+                    # protocol-fixed 0.5 (ADVICE r4): the MOTChallenge
+                    # distractor-removal preprocessing always uses 0.5;
+                    # tying it to the user-tunable scoring --iou made
+                    # numbers non-comparable across --iou settings
+                    iou_threshold=0.5,
                 )
                 kept_rows.extend(rows[k] for k in kept_ids)
         n_removed = len(pred_rows) - len(kept_rows)

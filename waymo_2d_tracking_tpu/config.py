@@ -49,7 +49,23 @@ class TrackerConfig:
     motion_gate: float = 0.0       # chi-square gate on squared Mahalanobis
                                    # distance to the Kalman prediction
                                    # (DeepSORT-style; 9.4877 = chi2 95% 4-dof;
-                                   # 0 disables)
+                                   # 0 disables). Round 5: the statistic is
+                                   # the PROJECTED innovation, S = HPH^T + R
+                                   # (DeepSORT project() convention) — for a
+                                   # converged track it reads ~half the
+                                   # round-3 HPH^T-only form, so a position
+                                   # offset must exceed ~25% of box height
+                                   # before 9.4877 forbids the match (d^2 is
+                                   # scale-free in offset/height; 40% of h
+                                   # measures d^2 = 35). Gates tuned against
+                                   # the old form should be halved.
+                                   # Measured regime (hostile clips, r5):
+                                   # cuts FP -71% on ghost_clutter but NEVER
+                                   # wins MOTA/IDF1, and is catastrophic
+                                   # under unmodeled global motion
+                                   # (curved_pan IDSW 7->62) — enable only
+                                   # when precision dominates and the CV
+                                   # model holds.
     score_threshold: float = 0.5   # min det score to participate at all
     birth_score_threshold: float = 0.6  # min score to birth a new track
     birth_iou_threshold: float = 1.0  # suppress a birth whose IoU with any

@@ -66,6 +66,18 @@ class SyntheticClipConfig:
     # (160 / box side), clipped to [0.5x, 4x] — small (far) objects are
     # localized worse, like a real detector.
     distance_noise: bool = False
+    # Ghost clutter (round 5, motion_gate's regime): with this per-object
+    # per-frame probability, the object's TRUE detection is suppressed and
+    # replaced by a high-score (0.85-0.95) ghost of the same class and size
+    # offset by ghost_offset_frac * box_height in a random direction —
+    # IoU-overlapping enough to match (IoU ~0.2-0.45) but dynamically
+    # implausible (offset magnitude f*h reads d^2 = (f/0.0955)^2 on the
+    # projected-innovation Mahalanobis statistic for a converged track:
+    # 13.4-27.4 over the default range, all above the chi2-95% gate
+    # 9.4877, while IoU stays 0.26-0.48). Ungated, the ghost drags the
+    # track off its trajectory; the motion gate forbids the steal.
+    ghost_prob: float = 0.0
+    ghost_offset_frac: Tuple[float, float] = (0.35, 0.5)
     seed: int = 0
 
 
@@ -161,6 +173,25 @@ def generate_clip(cfg: SyntheticClipConfig = SyntheticClipConfig()):
                 miss_p = min(miss_p + cfg.occlusion_miss_boost, 0.95)
             if not present[t, obj] or rng.uniform() < miss_p:
                 continue
+            if cfg.ghost_prob > 0.0 and rng.uniform() < cfg.ghost_prob:
+                # ghost clutter: suppress the true det, emit an offset twin
+                # carrying the OBJECT'S OWN appearance (a reflection /
+                # double-detection of the same object) — the appearance
+                # gate cannot reject it; only the motion gate can
+                frac = rng.uniform(*cfg.ghost_offset_frac)
+                ang = rng.uniform(0, 2 * np.pi)
+                off = frac * bh[obj] * np.array(
+                    [np.cos(ang), np.sin(ang), np.cos(ang), np.sin(ang)]
+                )
+                e = emb_true[obj] + rng.normal(
+                    0, cfg.embed_noise, emb_true.shape[1]
+                )
+                e /= np.linalg.norm(e)
+                rows.append(
+                    (gt_boxes[t, obj] + off, rng.uniform(0.85, 0.95),
+                     obj % 3, e)
+                )
+                continue
             noise_px = cfg.det_noise_px
             if cfg.distance_noise:
                 side = float(np.sqrt(bw[obj] * bh[obj]))
@@ -236,6 +267,17 @@ HOSTILE_CLIPS = {
         det_noise_px=3.0, miss_prob=0.08, false_pos_per_frame=1.5,
         lifespan_frac=(0.2, 0.7), distance_noise=True,
         occlusion_gap=(0, 0), seed=31,
+    ),
+    # motion_gate's regime (round 5): high-score ghost twins replace the
+    # true detection ~12% of object-frames — IoU-matchable, dynamically
+    # implausible. Measured (tools/perf_hostile_knobs.py): the gate is the
+    # only knob that wins here, and it HURTS on curved_pan (IDSW 7 -> 62):
+    # enable it for clutter-heavy feeds with a sound motion model, never
+    # under unmodeled global motion.
+    "ghost_clutter": SyntheticClipConfig(
+        num_frames=150, num_objects=24, image_size=(640, 960),
+        det_noise_px=3.0, miss_prob=0.05, false_pos_per_frame=0.5,
+        ghost_prob=0.12, occlusion_gap=(0, 0), seed=37,
     ),
 }
 

@@ -74,13 +74,23 @@ class HotaMetrics:
 
 
 def _intern_ids(frames) -> Tuple[List[np.ndarray], int]:
-    """Per-frame id arrays -> per-frame contiguous index arrays + id count."""
+    """Per-frame id arrays -> per-frame contiguous index arrays + id count.
+
+    Rejects duplicate ids within one frame: they are invalid tracker output,
+    and downstream the potential-match accumulation uses fancy-index `+=`
+    (hota.py pass 1), which would silently drop the duplicate's contribution
+    and corrupt A_max instead of erroring (ADVICE r4)."""
     table: Dict[int, int] = {}
     out = []
-    for ids, _ in frames:
-        out.append(np.array(
+    for t, (ids, _) in enumerate(frames):
+        idx = np.array(
             [table.setdefault(int(i), len(table)) for i in ids], np.intp
-        ))
+        )
+        if len(np.unique(idx)) != len(idx):
+            raise ValueError(
+                f"duplicate track/gt id within frame {t}: {list(ids)}"
+            )
+        out.append(idx)
     return out, len(table)
 
 

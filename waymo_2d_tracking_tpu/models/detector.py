@@ -406,12 +406,21 @@ class DetectorRunner:
         that reaches a quantized forward without that step is a bug, and
         this raises instead of silently serving garbage.
 
-        Host-syncs the 'quant' leaves once per param tree (memoized by a
-        weakref to the tree's first leaf — see __init__)."""
+        Host-syncs the 'quant' leaves once per quant state (memoized by a
+        weakref to the FIRST LEAF OF THE 'quant' COLLECTION — keying off the
+        whole tree's first leaf (ADVICE r4) let a tree that kept its weights
+        but re-initialized 'quant' sail through the memo and serve with
+        1.0-scale fallbacks, the exact failure this guard exists for)."""
         if self.cfg.quant == "off":
             return
-        leaf = jax.tree_util.tree_leaves(params)[0]
-        if self._calib_ok_leaf is not None and self._calib_ok_leaf() is leaf:
+        quant_leaves = jax.tree_util.tree_leaves(params.get("quant", {})) \
+            if isinstance(params, dict) else []
+        leaf = quant_leaves[0] if quant_leaves else None
+        if (
+            leaf is not None
+            and self._calib_ok_leaf is not None
+            and self._calib_ok_leaf() is leaf
+        ):
             return
         from waymo_2d_tracking_tpu.models.quant import is_calibrated
 
@@ -424,9 +433,10 @@ class DetectorRunner:
                 "their first chunk (SegmentPipeline/MultiCamPipeline/"
                 "OnlineTracker), or restore a calibrated checkpoint."
             )
-        import weakref
+        if leaf is not None:
+            import weakref
 
-        self._calib_ok_leaf = weakref.ref(leaf)
+            self._calib_ok_leaf = weakref.ref(leaf)
 
     def detect(self, params, images) -> Detections:
         """images (N, H, W, 3) float32 [0,1]-ish -> batched Detections (N, D, ...)."""
