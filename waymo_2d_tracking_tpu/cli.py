@@ -459,7 +459,9 @@ def cmd_export_savedmodel(args):
 
         variables = DetectorRunner(cfg.detector).init_params(
             jax.random.PRNGKey(args.seed))
-    info = export_savedmodel(cfg.detector, variables, args.out,
+    # full Config, not cfg.detector: the export routes through the one
+    # detection dispatch rule, so a TTA preset exports the TTA union
+    info = export_savedmodel(cfg, variables, args.out,
                              batch_size=args.batch,
                              platform=args.platform)
     print(json.dumps(info))

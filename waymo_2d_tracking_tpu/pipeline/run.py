@@ -181,9 +181,10 @@ def dispatch_detect(detector: DetectorRunner, cfg: Config, params, images) -> De
     History: round 3 unified detect-vs-track (a config-5 preset's `w2t
     detect` silently produced non-TTA detections), but the multicam drivers
     still called ``_detect_impl`` directly — `--multicam` under a TTA preset
-    dropped TTA with no error (VERDICT r3 missing #3). Centralizing the rule
-    here makes that bug class structural: a driver that wants detections
-    goes through this function.
+    dropped TTA with no error (VERDICT r3 missing #3). Round 5 routed the
+    fifth and last surface, the SavedModel export (io_out/export_tf.py),
+    through here too. Centralizing the rule makes that bug class
+    structural: anything that wants detections goes through this function.
     """
     if tta_active(cfg.pipeline):
         from waymo_2d_tracking_tpu.pipeline.tta import detect_tta_batch
@@ -192,6 +193,7 @@ def dispatch_detect(detector: DetectorRunner, cfg: Config, params, images) -> De
             detector.module, params, images, cfg.detector,
             scales=tuple(cfg.pipeline.tta_scales),
             flip=cfg.pipeline.tta_flip,
+            interpret=detector._interpret,
         )
     return detector._detect_impl(params, images)
 
