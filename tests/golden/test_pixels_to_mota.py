@@ -115,15 +115,18 @@ def test_pixels_to_mota_floor():
     m = evaluate_mot(
         gt_to_frames(gt), _records_to_frames(records, CLIP.num_frames)
     )
-    # Floors just under the values measured at fixture-commit time. The
-    # detector's float path differs per backend enough to move the tail
-    # detections: TPU measured mota 0.882 / idf1 0.940 / idsw 0 / mt 8;
-    # CPU (this harness) 0.799 / 0.885 / 5 / 8. Floors clear both with
-    # margin (recorded in BASELINE.md).
+    # Floors just under the values measured at fixture-commit time. Round 5
+    # diagnosed and removed the CPU<->TPU spread (tools/diag_backend_drift.py;
+    # BASELINE.md "backend drift"): XLA:TPU's DEFAULT precision ran the f32
+    # convs as single bf16 MXU passes, and the ~2^-8 stem error amplified
+    # into score deltas up to 0.48 across the 0.55/0.65 gates. With
+    # dtype='float32' now pinned to HIGHEST precision (models/detector.py
+    # _precision_ctx) both backends measure mota 0.7971 / idf1 0.8853 /
+    # idsw 5 / mt 8 — floors tightened to a few points under that.
     d = m.as_dict()
-    assert m.mota >= 0.76, d
-    assert m.idf1 >= 0.85, d
-    assert m.num_idsw <= 7, d
+    assert m.mota >= 0.78, d
+    assert m.idf1 >= 0.87, d
+    assert m.num_idsw <= 6, d
     assert m.mostly_tracked >= 7, d
 
 
@@ -178,10 +181,10 @@ def test_multicam_pixels_to_mota_floor(tmp_path):
     m2 = mota_for(2, gt_b)
     # same floors as the single-camera goldens above: the shared-backbone
     # batch must not change per-camera quality
-    assert m1.mota >= 0.76 and m1.idf1 >= 0.85, m1.as_dict()
-    assert m1.num_idsw <= 7 and m1.mostly_tracked >= 7, m1.as_dict()
-    assert m2.mota >= 0.38 and m2.idf1 >= 0.62, m2.as_dict()
-    assert m2.num_idsw <= 12, m2.as_dict()
+    assert m1.mota >= 0.78 and m1.idf1 >= 0.87, m1.as_dict()
+    assert m1.num_idsw <= 6 and m1.mostly_tracked >= 7, m1.as_dict()
+    assert m2.mota >= 0.42 and m2.idf1 >= 0.66, m2.as_dict()
+    assert m2.num_idsw <= 7, m2.as_dict()
 
 
 def test_dense_occlusion_birth_suppression_regime():
@@ -190,7 +193,7 @@ def test_dense_occlusion_birth_suppression_regime():
     rectangles genuinely occlude each other. The trained detector emits
     near-duplicate boxes NMS keeps; without birth suppression they spawn
     twin tracks (measured base: MOTA 0.208, 63 IDSW, 481 FP — identical
-    CPU and TPU). With birth_iou_threshold=0.3: MOTA 0.433, 5 IDSW.
+    CPU and TPU). With birth_iou_threshold=0.3: MOTA 0.435, 5 IDSW.
     BYTE measurably HURTS on this clip (MOTA 0.083: the low-score band is
     detector junk, not occluded objects) — recorded in BASELINE.md; the
     ordering floor here pins the knob's regime, not a tuned best."""
@@ -228,7 +231,9 @@ def test_dense_occlusion_birth_suppression_regime():
     assert sup.mota >= base.mota + 0.15, (base.as_dict(), sup.as_dict())
     assert sup.num_idsw * 3 <= base.num_idsw, (base.num_idsw, sup.num_idsw)
     assert sup.num_fp < base.num_fp, (base.num_fp, sup.num_fp)
-    # absolute floors just under measurement
-    assert sup.mota >= 0.38, sup.as_dict()
-    assert sup.idf1 >= 0.62, sup.as_dict()
-    assert sup.num_idsw <= 12, sup.as_dict()
+    # absolute floors just under measurement (0.4352 / 0.677 / 5, identical
+    # CPU and TPU once float32 runs HIGHEST precision — see BASELINE.md
+    # "backend drift", round 5)
+    assert sup.mota >= 0.42, sup.as_dict()
+    assert sup.idf1 >= 0.66, sup.as_dict()
+    assert sup.num_idsw <= 7, sup.as_dict()

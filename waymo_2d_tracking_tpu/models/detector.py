@@ -9,6 +9,7 @@ fixed-shape ``Detections`` pytree that feeds the tracker directly on device.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any, Dict, Optional, Tuple
 
@@ -72,6 +73,26 @@ def _pool_reid_features(p_feats, boxes, cfg: DetectorConfig):
     )
 
 
+def _precision_ctx(cfg: DetectorConfig):
+    """float32 configs get TRUE f32 math on every backend.
+
+    XLA:TPU's DEFAULT matmul/conv precision computes f32 convs with one
+    bf16x bf16 MXU pass (~2^-8 relative error); CPU computes true f32. On
+    the trained pixels fixture that stem-level 0.3% error amplifies through
+    18 conv/BN layers into detection-score deltas up to 0.48, flipping the
+    tracker's 0.55/0.65 gates on ~30 frame-slots of the seed-5 golden clip
+    — the entire CPU<->TPU MOTA divergence (0.799 vs 0.887) diagnosed in
+    round 5 (tools/diag_backend_drift.py; BASELINE.md "backend drift").
+    dtype='float32' is the quality/parity path, so it gets HIGHEST
+    (bf16x3 passes, f32-equivalent); the perf presets all run
+    dtype='bfloat16' where DEFAULT is already exact for bf16 inputs —
+    their speed is untouched.
+    """
+    if cfg.dtype == "float32":
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
+
+
 class Detector(nn.Module):
     """Raw forward: images (N, H, W, 3) -> per-level head outputs + P3."""
 
@@ -129,14 +150,16 @@ class Detector(nn.Module):
             )
 
     def __call__(self, images, train: bool = False):
-        c_feats = self.backbone(images, train=train)
-        p_feats = self.fpn(c_feats)
-        head_out = self.heads(p_feats)
+        with _precision_ctx(self.cfg):
+            c_feats = self.backbone(images, train=train)
+            p_feats = self.fpn(c_feats)
+            head_out = self.heads(p_feats)
         return head_out, p_feats
 
     def embed(self, pooled):
         """ReID embeddings for RoIAligned features (R, P, P, C) -> (R, E)."""
-        return self.reid(pooled)
+        with _precision_ctx(self.cfg):
+            return self.reid(pooled)
 
     def forward_train(self, images, rois=None):
         """Training forward: head outputs plus (optionally) ReID embeddings
@@ -154,10 +177,11 @@ class Detector(nn.Module):
             # pool exactly like inference (DetectorRunner._detect_impl) so
             # the trained metric sees the same feature distribution —
             # including the reid_multilevel scale-matched pooling
-            pooled = _pool_reid_features(p_feats, rois, self.cfg)
-            n, g = rois.shape[:2]
-            flat = pooled.reshape((n * g,) + pooled.shape[2:])
-            embeds = self.reid(flat).reshape(n, g, -1)
+            with _precision_ctx(self.cfg):
+                pooled = _pool_reid_features(p_feats, rois, self.cfg)
+                n, g = rois.shape[:2]
+                flat = pooled.reshape((n * g,) + pooled.shape[2:])
+                embeds = self.reid(flat).reshape(n, g, -1)
         return head_out, embeds
 
     def init_all(self, images):
@@ -380,19 +404,25 @@ class DetectorRunner:
         """Whole-batch detect: no Python loop over images — candidate top-k,
         Pallas NMS (gridded over the batch), RoIAlign, and the ReID head all
         run as single batched calls (round 1 serialized B postprocess chains
-        per chunk, bloating both runtime and compile time)."""
-        head_out, p_feats = self.module.apply(params, images)
-        boxes, scores, classes, valid = postprocess_batched(
-            head_out, self.cfg, interpret=self._interpret
-        )
-        n, d = boxes.shape[:2]
-        if self.cfg.embed_dim > 0:
-            pooled = _pool_reid_features(p_feats, boxes, self.cfg)
-            flat = pooled.reshape((n * d,) + pooled.shape[2:])
-            embeds = self.module.apply(params, flat, method=Detector.embed)
-            embeds = embeds.reshape(n, d, -1) * valid[..., None]
-        else:
-            embeds = jnp.zeros((n, d, 1), jnp.float32)
+        per chunk, bloating both runtime and compile time).
+
+        The whole impl runs under _precision_ctx so float32 configs get f32
+        math in the RoIAlign separable matmuls and box decode too, not just
+        inside the flax modules — embeddings feed cosine gates just as
+        score-sensitive as the 0.55/0.65 thresholds."""
+        with _precision_ctx(self.cfg):
+            head_out, p_feats = self.module.apply(params, images)
+            boxes, scores, classes, valid = postprocess_batched(
+                head_out, self.cfg, interpret=self._interpret
+            )
+            n, d = boxes.shape[:2]
+            if self.cfg.embed_dim > 0:
+                pooled = _pool_reid_features(p_feats, boxes, self.cfg)
+                flat = pooled.reshape((n * d,) + pooled.shape[2:])
+                embeds = self.module.apply(params, flat, method=Detector.embed)
+                embeds = embeds.reshape(n, d, -1) * valid[..., None]
+            else:
+                embeds = jnp.zeros((n, d, 1), jnp.float32)
         return Detections(
             boxes=boxes, scores=scores, classes=classes,
             embeds=embeds, valid=valid,
