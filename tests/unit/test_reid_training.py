@@ -36,6 +36,41 @@ def test_triplet_loss_hand_case():
     assert float(loss2) > 0.0
 
 
+def test_supcon_loss_hand_cases():
+    """Supervised contrastive (the round-5 default reid objective): low on
+    separated identities, EXPENSIVE at collapse — the property batch-hard
+    triplet lacks (its loss flatlines at the margin when embeddings
+    collapse, which is exactly how the round-3/4 reid tower degenerated
+    unnoticed; see train/losses.py reid_supcon_loss)."""
+    from waymo_2d_tracking_tpu.train.losses import reid_supcon_loss
+
+    e = jnp.asarray(
+        [[1, 0], [0.9988, 0.05], [0, 1], [-0.05, 0.9988]], jnp.float32)
+    e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+    ids = jnp.asarray([[0, 0, 1, 1]])
+    ok = jnp.ones((1, 4), bool)
+    loss, cnt = reid_supcon_loss(e[None], ids, ok)
+    assert int(cnt) == 4 and float(loss) < 0.01
+
+    # fully collapsed embeddings: softmax over A(i) is uniform, so the
+    # positive's log-probability is -log(|A|) = -log(3) per anchor
+    ec = jnp.tile(jnp.asarray([[1.0, 0.0]]), (4, 1))
+    loss_c, _ = reid_supcon_loss(ec[None], ids, ok)
+    assert float(loss_c) == pytest.approx(np.log(3), abs=1e-4)
+
+    # no positives / all-invalid: zero loss, zero count (safe to add)
+    l0, c0 = reid_supcon_loss(e[None], jnp.asarray([[0, 1, 2, 3]]), ok)
+    assert int(c0) == 0 and float(l0) == 0.0
+    l1, c1 = reid_supcon_loss(
+        e[None], jnp.full((1, 4), -1), jnp.zeros((1, 4), bool))
+    assert int(c1) == 0 and float(l1) == 0.0
+
+    # gradient must repel collapse: a small perturbation from collapse
+    # should have finite, nonzero grad
+    g = jax.grad(lambda x: reid_supcon_loss(x, ids, ok)[0])(e[None])
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
+
+
 def test_triplet_loss_masks_and_degenerate():
     rng = np.random.default_rng(0)
     e = rng.normal(size=(2, 3, 8)).astype(np.float32)
@@ -143,3 +178,8 @@ def test_reid_tower_learns_identities(tmp_path):
     assert last_reid < first_reid * 0.5, (first_reid, last_reid)
     # trained: same-identity pairs pulled together, margins apart from others
     assert same1 < 0.25 * diff1, (same0, diff0, same1, diff1)
+    # ...at a NON-DEGENERATE scale: the ratio alone passed for years of
+    # rounds while the GN+GAP head collapsed every embedding to pairwise
+    # distances ~1e-4 (ratio tests are scale-blind — round-5 lesson). A
+    # learned metric must put different identities a real angle apart.
+    assert diff1 > 0.2, (same1, diff1)

@@ -26,6 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+from waymo_2d_tracking_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 
 def main():
     from flax import serialization
@@ -65,9 +69,11 @@ def main():
     for clip_name, (clip_cfg, tracker_kw) in clips.items():
         frames, gt = render_video_clip(clip_cfg)
         gf = gt_to_frames(gt)
-        for quant in ("off", "int8"):
+        for quant, scope in (("off", "trunk"), ("int8", "trunk"),
+                             ("int8", "all")):
             cfg = Config(
-                detector=dataclasses.replace(PIXELS_DET, quant=quant),
+                detector=dataclasses.replace(PIXELS_DET, quant=quant,
+                                             quant_scope=scope),
                 tracker=TrackerConfig(
                     max_tracks=32, max_detections=32, embed_dim=0,
                     n_init=2, max_age=5, iou_threshold=0.3,
@@ -87,6 +93,7 @@ def main():
             d = m.as_dict()
             print(json.dumps({
                 "backend": backend, "clip": clip_name, "quant": quant,
+                "scope": scope,
                 "mota": round(d["mota"], 4), "idf1": round(d["idf1"], 4),
                 "idsw": d["num_idsw"], "fp": d["num_fp"], "fn": d["num_fn"],
                 "mt": d["mostly_tracked"],

@@ -201,11 +201,27 @@ class DetectorConfig:
                               # (DetectorRunner.calibrate; the pipelines
                               # auto-calibrate on their first chunk).
                               # Training always runs the float path.
+    quant_scope: str = "trunk"  # which convs the int8 mode quantizes:
+                              # 'trunk' (backbone+FPN; head towers + ReID
+                              # stay float) or 'all'. Default 'trunk':
+                              # measured round 5 on the trained pixels
+                              # fixture, 'all' collapses seed-5 MOTA
+                              # 0.797 -> 0.634 (tower quant noise lands on
+                              # the sigmoid/exp decode, same failure class
+                              # the always-float predictor convs guard
+                              # against) while 'trunk' holds quality at
+                              # ~0.985x the bench win of 'all'
+                              # (BASELINE.md int8-quality table).
 
     def __post_init__(self):
         if self.quant not in ("off", "int8"):
             raise ValueError(
                 f"detector.quant must be 'off' or 'int8', got {self.quant!r}"
+            )
+        if self.quant_scope not in ("all", "trunk"):
+            raise ValueError(
+                f"detector.quant_scope must be 'all' or 'trunk', "
+                f"got {self.quant_scope!r}"
             )
         if self.head_family not in ("fcos", "centernet"):
             raise ValueError(
@@ -301,7 +317,13 @@ class TrainConfig:
     # 0 disables (detector-only training); needs detector.embed_dim > 0 and
     # batches carrying gt_track_ids to have any effect
     reid_loss_weight: float = 0.0
-    reid_margin: float = 0.3
+    # metric objective: 'supcon' (supervised contrastive, Khosla et al.
+    # 2020 — the default; batch-hard triplet on normalized embeddings has
+    # a measured collapse mode, see train/losses.py reid_supcon_loss) or
+    # 'triplet' (Hermans et al. 2017 batch-hard, kept for comparison)
+    reid_loss: str = "supcon"
+    reid_margin: float = 0.3        # triplet hinge margin
+    reid_temperature: float = 0.1   # supcon temperature
 
 
 @dataclasses.dataclass(frozen=True)

@@ -78,6 +78,14 @@ class SyntheticClipConfig:
     # track off its trajectory; the motion gate forbids the steal.
     ghost_prob: float = 0.0
     ghost_offset_frac: Tuple[float, float] = (0.35, 0.5)
+    # Rendered-clip texture (round 5): per-object sinusoidal grating
+    # amplitude for render_video_clip / draw_rect_objects. 0.0 = the
+    # original solid rectangles (existing pixel goldens byte-identical).
+    # >0 gives each object an identity-bearing appearance an instance-
+    # normalized ReID embedding can actually represent — see
+    # draw_rect_objects' docstring for the measured collapse that
+    # motivated this.
+    texture_amp: float = 0.0
     seed: int = 0
 
 
@@ -287,8 +295,9 @@ RENDER_COLORS = np.array(
 )
 
 
-def draw_rect_objects(image, boxes, classes, brightness=None):
-    """Draw solid class-colored rectangles onto a float image IN PLACE.
+def draw_rect_objects(image, boxes, classes, brightness=None,
+                      tex_theta=None, tex_lambda=None, tex_amp=0.0):
+    """Draw class-colored rectangles onto a float image IN PLACE.
 
     image (H, W, 3) f32; boxes (N, 4) xyxy in image pixels (clipped here);
     classes (N,) ints into RENDER_COLORS; brightness (N,) optional
@@ -296,10 +305,25 @@ def draw_rect_objects(image, boxes, classes, brightness=None):
     occlusion order). Shared by the trained-fixture batch generator and
     render_video_clip so the train and eval pixel distributions are one
     code path.
+
+    Texture (round 5, the ReID-fixture finding): with ``tex_amp > 0`` each
+    rectangle is modulated by an object-anchored sinusoidal grating of
+    per-object orientation ``tex_theta`` (rad) and wavelength
+    ``tex_lambda`` (px) — color * (1 + amp * sin). Solid rectangles are
+    INFORMATIONLESS to an instance-normalized appearance embedding: the
+    ReID tower's GroupNorm maps any spatially-constant RoI to the same
+    output (measured: embeddings collapsed to cosine distances ~1e-4 at
+    init and triplet training could not escape — the GN of a constant is
+    epsilon noise with ~zero gradient). A grating carries identity in its
+    orientation/frequency/phase structure, which survives instance
+    normalization — like real-object texture does. The grating is anchored
+    to the box corner, so it MOVES WITH the object across frames (the same
+    object looks the same; that is what makes it a re-id signal).
     """
     h, w = image.shape[:2]
     for i in range(len(boxes)):
         x1, y1, x2, y2 = boxes[i]
+        fx1, fy1 = float(boxes[i][0]), float(boxes[i][1])
         x1 = int(max(x1, 0)); y1 = int(max(y1, 0))
         x2 = int(min(x2, w)); y2 = int(min(y2, h))
         if x2 <= x1 or y2 <= y1:
@@ -307,7 +331,20 @@ def draw_rect_objects(image, boxes, classes, brightness=None):
         color = RENDER_COLORS[int(classes[i]) % len(RENDER_COLORS)]
         if brightness is not None:
             color = np.clip(color * float(brightness[i]), 0.0, 1.0)
-        image[y1:y2, x1:x2] = color
+        if tex_amp > 0.0 and tex_theta is not None:
+            yy, xx = np.mgrid[y1:y2, x1:x2].astype(np.float32)
+            # object-local coordinates: the pattern rides the box
+            xx -= fx1
+            yy -= fy1
+            th = float(tex_theta[i])
+            lam = max(float(tex_lambda[i]), 2.0)
+            phase = 2.0 * np.pi * (xx * np.cos(th) + yy * np.sin(th)) / lam
+            mod = 1.0 + tex_amp * np.sin(phase)
+            image[y1:y2, x1:x2] = np.clip(
+                color[None, None, :] * mod[:, :, None], 0.0, 1.0
+            )
+        else:
+            image[y1:y2, x1:x2] = color
     return image
 
 
@@ -342,6 +379,13 @@ def render_video_clip(
 
     rng = np.random.default_rng(cfg.seed + 7777)
     brightness = rng.uniform(0.75, 1.15, k)
+    # texture params drawn ONLY when enabled: drawing them unconditionally
+    # would advance this rng and change every committed golden clip's
+    # background noise (the floors are measured on exact pixels)
+    tex_theta = tex_lambda = None
+    if cfg.texture_amp > 0.0:
+        tex_theta = rng.uniform(0.0, np.pi, k)
+        tex_lambda = rng.uniform(4.0, 12.0, k)
 
     clipped = boxes.copy()
     clipped[..., 0::2] = np.clip(clipped[..., 0::2], 0, wr)
@@ -360,7 +404,10 @@ def render_video_clip(
         img = rng.normal(bg_mean, bg_noise, (hr, wr, 3)).astype(np.float32)
         live = np.where(present[t])[0]
         draw_rect_objects(
-            img, clipped[t, live], gt["classes"][live], brightness[live]
+            img, clipped[t, live], gt["classes"][live], brightness[live],
+            tex_theta=None if tex_theta is None else tex_theta[live],
+            tex_lambda=None if tex_lambda is None else tex_lambda[live],
+            tex_amp=cfg.texture_amp,
         )
         frames[t] = (np.clip(img, 0, 1) * 255).astype(np.uint8)
 

@@ -126,6 +126,13 @@ class Detector(nn.Module):
         self.fpn = FPN(channels=self.cfg.fpn_channels,
                        levels=tuple(self.cfg.fpn_levels), dtype=dtype,
                        quant=self.quant)
+        # quant_scope='trunk': the backbone/FPN (where the FLOPs are) run
+        # int8, the head towers + ReID stay float — their outputs feed the
+        # sigmoid/exp score decode and the cosine metric, where per-tensor
+        # quant step noise moves the tracker's gates directly (measured on
+        # the trained pixels fixture: scope 'all' collapses seed-5 MOTA
+        # 0.797 -> 0.634; BASELINE.md int8-quality table).
+        head_quant = self.quant if self.cfg.quant_scope == "all" else "off"
         if self.cfg.head_family == "centernet":
             from waymo_2d_tracking_tpu.models.centernet import CenterNetHeads
 
@@ -133,20 +140,20 @@ class Detector(nn.Module):
                 num_classes=self.cfg.num_classes, depth=self.cfg.head_depth,
                 channels=self.cfg.head_channels or self.cfg.fpn_channels,
                 level=self.cfg.centernet_level,
-                dtype=dtype, quant=self.quant,
+                dtype=dtype, quant=head_quant,
             )
         else:
             self.heads = FCOSHeads(
                 num_classes=self.cfg.num_classes, depth=self.cfg.head_depth,
                 channels=self.cfg.head_channels or self.cfg.fpn_channels,
                 levels=tuple(self.cfg.fpn_levels),
-                dtype=dtype, quant=self.quant,
+                dtype=dtype, quant=head_quant,
             )
         if self.cfg.embed_dim > 0:
             self.reid = ReIDHead(
                 embed_dim=self.cfg.embed_dim,
                 channels=self.cfg.reid_channels or self.cfg.fpn_channels,
-                dtype=dtype, quant=self.quant,
+                dtype=dtype, quant=head_quant,
             )
 
     def __call__(self, images, train: bool = False):
@@ -374,7 +381,10 @@ class DetectorRunner:
             params, images, mutable=["quant"]
         )
         params = _merge_collection(params, "quant", upd["quant"])
-        if self.cfg.embed_dim > 0:
+        if self.cfg.embed_dim > 0 and self.cfg.quant_scope == "all":
+            # quant_scope='trunk' leaves the ReID tower float — it has no
+            # 'quant' variables to calibrate (and flax's mutable apply
+            # would return no 'quant' entry at all)
             # calibrate the ReID tower on REAL pooled features (its input
             # distribution), via the same postprocess as _detect_impl
             boxes, _, _, valid = postprocess_batched(

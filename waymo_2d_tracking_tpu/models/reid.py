@@ -5,6 +5,20 @@ association cost (BASELINE north-star: "appearance-embedding cosine costs").
 Input is RoIAligned pyramid features for the final detections — the head is
 fused into the same jitted detector forward, so embeddings are free-ish:
 one small conv stack + matmul on features already in HBM.
+
+Architecture note (round 5, measured): the head FLATTENS the 7x7 spatial
+grid into the projection instead of global-average-pooling it, and never
+applies a per-sample norm right before the reduction. The previous
+GN(groups=channels) -> relu -> GAP tail was near input-INVARIANT: GroupNorm
+with one channel per group normalizes each channel's 7x7 map to mean 0 /
+std 1 per sample, and the spatial mean of relu of such a map is ~0.3989
+(half-normal mean) for EVERY input — embeddings collapsed to cosine
+distances ~1e-3 at init (~1e-4 after triplet training failed to escape),
+making appearance association a no-op. Flattening keeps the per-position
+pattern the normalization preserves: init-time mean pairwise cosine
+distance 0.0013 (old) -> 0.393 (this head) on random pooled features.
+The flatten->Dense tail is the torchvision Faster R-CNN box-head shape
+(flatten 7*7*C into the first FC), reimplemented.
 """
 from __future__ import annotations
 
@@ -27,13 +41,19 @@ class ReIDHead(nn.Module):
     @nn.compact
     def __call__(self, pooled: jnp.ndarray) -> jnp.ndarray:
         x = pooled.astype(self.dtype)
-        for i in range(2):
-            x = make_conv(self.quant, features=self.channels,
-                          kernel_size=(3, 3), padding=[(1, 1), (1, 1)],
-                          dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"gn{i}")(x)
-            x = nn.relu(x)
-        x = jnp.mean(x, axis=(1, 2))                       # global average pool
+        x = make_conv(self.quant, features=self.channels,
+                      kernel_size=(3, 3), padding=[(1, 1), (1, 1)],
+                      dtype=self.dtype, name="conv0")(x)
+        x = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="gn0")(x)
+        x = nn.relu(x)
+        x = make_conv(self.quant, features=self.channels,
+                      kernel_size=(3, 3), padding=[(1, 1), (1, 1)],
+                      dtype=self.dtype, name="conv1")(x)
+        # no per-sample norm after this point (see module docstring), and
+        # the spatial grid is flattened, not averaged: both are required
+        # for the embedding to depend on the input at all
+        x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="proj")(x)
         x = x.astype(jnp.float32)
         return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)

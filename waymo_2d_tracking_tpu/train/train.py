@@ -23,7 +23,11 @@ from flax.core import FrozenDict
 from waymo_2d_tracking_tpu.config import Config, TrainConfig
 from waymo_2d_tracking_tpu.models.detector import Detector
 from waymo_2d_tracking_tpu.parallel import sharding as shd
-from waymo_2d_tracking_tpu.train.losses import fcos_loss, reid_triplet_loss
+from waymo_2d_tracking_tpu.train.losses import (
+    fcos_loss,
+    reid_supcon_loss,
+    reid_triplet_loss,
+)
 
 
 @struct.dataclass
@@ -133,10 +137,20 @@ class DetectorTrainer:
                     focal_gamma=self.cfg.train.focal_gamma,
                 )
             if reid_on:
-                reid_l, n_active = reid_triplet_loss(
-                    gt_embeds, batch["gt_track_ids"], batch["gt_valid"],
-                    margin=self.cfg.train.reid_margin,
-                )
+                if self.cfg.train.reid_loss == "triplet":
+                    reid_l, n_active = reid_triplet_loss(
+                        gt_embeds, batch["gt_track_ids"], batch["gt_valid"],
+                        margin=self.cfg.train.reid_margin,
+                    )
+                elif self.cfg.train.reid_loss == "supcon":
+                    reid_l, n_active = reid_supcon_loss(
+                        gt_embeds, batch["gt_track_ids"], batch["gt_valid"],
+                        temperature=self.cfg.train.reid_temperature,
+                    )
+                else:
+                    raise ValueError(
+                        "train.reid_loss must be 'supcon' or 'triplet', "
+                        f"got {self.cfg.train.reid_loss!r}")
                 loss = loss + self.cfg.train.reid_loss_weight * reid_l
                 metrics = dict(metrics, reid_loss=reid_l,
                                reid_active=n_active)
